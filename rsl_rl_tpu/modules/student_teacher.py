@@ -1,0 +1,180 @@
+"""Student-teacher distillation policy (feedforward).
+
+TPU-native counterpart of the reference ``StudentTeacher``
+(reference: rsl_rl/modules/student_teacher.py:15-206): a trainable student MLP
+and a frozen teacher MLP. The teacher's parameters and normalizer live in
+``PolicyState.aux`` so the optimizer never sees them (the reference instead
+relies on the teacher receiving no gradients).
+
+Checkpoint remapping: loading an RL (ActorCritic) checkpoint maps
+``actor -> teacher`` and ``actor_obs_normalizer -> teacher_obs_normalizer``
+and reports "not a resume"; loading a distillation checkpoint restores
+everything and reports "resume" (reference student_teacher.py:168-206).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from rsl_rl_tpu.modules.policy import PolicyState, concat_obs, obs_set_dim
+from rsl_rl_tpu.networks.mlp import MLP
+from rsl_rl_tpu.ops.running_norm import init_running_norm, normalize, update_running_norm
+from rsl_rl_tpu.utils.registry import register
+
+
+@register("policy")
+class StudentTeacher:
+    is_recurrent = False
+
+    def __init__(
+        self,
+        obs: dict[str, jax.Array],
+        obs_groups: dict[str, list[str]],
+        num_actions: int,
+        student_obs_normalization: bool = False,
+        teacher_obs_normalization: bool = False,
+        student_hidden_dims: list[int] = (256, 256, 256),
+        teacher_hidden_dims: list[int] = (256, 256, 256),
+        activation: str = "elu",
+        init_noise_std: float = 0.1,
+        noise_std_type: str = "scalar",
+        dtype: Any = None,
+        **kwargs,
+    ):
+        if kwargs:
+            print(
+                "StudentTeacher.__init__ got unexpected arguments, which will be ignored: "
+                + str(list(kwargs.keys()))
+            )
+        self.obs_groups = obs_groups
+        self.num_actions = num_actions
+        self.num_student_obs = obs_set_dim(obs, obs_groups["policy"])
+        self.num_teacher_obs = obs_set_dim(obs, obs_groups["teacher"])
+        self.student_obs_normalization = student_obs_normalization
+        self.teacher_obs_normalization = teacher_obs_normalization
+        self.init_noise_std = init_noise_std
+        self.noise_std_type = noise_std_type
+        if noise_std_type not in ("scalar", "log"):
+            raise ValueError(
+                f"Unknown standard deviation type: {noise_std_type}. Should be 'scalar' or 'log'"
+            )
+        self.loaded_teacher = False
+
+        self.student = MLP(
+            output_dim=num_actions, hidden_dims=list(student_hidden_dims),
+            activation=activation, dtype=dtype,
+        )
+        self.teacher = MLP(
+            output_dim=num_actions, hidden_dims=list(teacher_hidden_dims),
+            activation=activation, dtype=dtype,
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key: jax.Array) -> PolicyState:
+        k_student, k_teacher = jax.random.split(key)
+        student_params = self.student.init(k_student, jnp.zeros((1, self.num_student_obs)))["params"]
+        teacher_params = self.teacher.init(k_teacher, jnp.zeros((1, self.num_teacher_obs)))["params"]
+
+        if self.noise_std_type == "scalar":
+            std_param = self.init_noise_std * jnp.ones((self.num_actions,), jnp.float32)
+        else:
+            std_param = jnp.log(self.init_noise_std * jnp.ones((self.num_actions,), jnp.float32))
+
+        params = {"student": student_params, "std": std_param}
+        norm = {
+            "student": init_running_norm(self.num_student_obs)
+            if self.student_obs_normalization
+            else None,
+        }
+        aux = {
+            "teacher": teacher_params,
+            "teacher_norm": init_running_norm(self.num_teacher_obs)
+            if self.teacher_obs_normalization
+            else None,
+        }
+        return PolicyState(params=params, norm=norm, aux=aux)
+
+    # ------------------------------------------------------------- carries
+
+    def initial_carry(self, num_envs: int) -> Any:
+        return ()
+
+    def reset_carry(self, carry: Any, dones: jax.Array) -> Any:
+        return carry
+
+    # ------------------------------------------------------------- forward
+
+    def _student_in(self, ps: PolicyState, obs) -> jax.Array:
+        x = concat_obs(obs, self.obs_groups["policy"])
+        if ps.norm["student"] is not None:
+            x = normalize(ps.norm["student"], x)
+        return x
+
+    def _teacher_in(self, ps: PolicyState, obs) -> jax.Array:
+        x = concat_obs(obs, self.obs_groups["teacher"])
+        if ps.aux["teacher_norm"] is not None:
+            x = normalize(ps.aux["teacher_norm"], x)
+        return x
+
+    def _std(self, ps: PolicyState, mean: jax.Array) -> jax.Array:
+        p = ps.params["std"]
+        std = p if self.noise_std_type == "scalar" else jnp.exp(p)
+        return jnp.broadcast_to(std, mean.shape)
+
+    def act(self, ps: PolicyState, obs, carry):
+        """Student action distribution (reference student_teacher.py:121-126)."""
+        mean = self.student.apply({"params": ps.params["student"]}, self._student_in(ps, obs))
+        return mean, self._std(ps, mean), carry
+
+    def evaluate(self, ps: PolicyState, obs, carry):
+        """Teacher mean action, no gradients
+        (reference student_teacher.py:133-137)."""
+        out = self.teacher.apply(
+            {"params": jax.lax.stop_gradient(ps.aux["teacher"])}, self._teacher_in(ps, obs)
+        )
+        return jax.lax.stop_gradient(out), carry
+
+    def act_inference(self, ps: PolicyState, obs, carry: Any = ()):
+        mean = self.student.apply({"params": ps.params["student"]}, self._student_in(ps, obs))
+        return mean, carry
+
+    # -------------------------------------------------------- normalization
+
+    def update_normalization(self, ps: PolicyState, obs) -> PolicyState:
+        """Only the student normalizer updates during distillation
+        (reference student_teacher.py:166-169)."""
+        norm = dict(ps.norm)
+        if norm["student"] is not None:
+            norm["student"] = update_running_norm(
+                norm["student"], concat_obs(obs, self.obs_groups["policy"])
+            )
+        return ps.replace(norm=norm)
+
+    # ---------------------------------------------------------- checkpoint
+
+    def load_state_dict(self, ps: PolicyState, loaded: Any) -> tuple[PolicyState, bool]:
+        """Restore from either an RL checkpoint (teacher bootstrap) or a
+        distillation checkpoint (resume).
+
+        Mirrors reference student_teacher.py:168-206: an ActorCritic-style
+        state (with an ``actor`` params key) maps actor->teacher and returns
+        ``False`` (not a resume); a StudentTeacher-style state restores fully
+        and returns ``True``.
+        """
+        loaded_params = loaded.params if isinstance(loaded, PolicyState) else loaded["params"]
+        if "actor" in loaded_params:
+            aux = dict(ps.aux)
+            aux["teacher"] = loaded_params["actor"]
+            loaded_norm = loaded.norm if isinstance(loaded, PolicyState) else loaded["norm"]
+            if loaded_norm.get("actor") is not None and aux.get("teacher_norm") is not None:
+                aux["teacher_norm"] = loaded_norm["actor"]
+            self.loaded_teacher = True
+            return ps.replace(aux=aux), False
+        if "student" in loaded_params:
+            self.loaded_teacher = True
+            return loaded, True
+        raise ValueError("state does not contain student or teacher parameters")

@@ -1,0 +1,130 @@
+"""Recurrent memory (GRU/LSTM) with explicit carried state.
+
+TPU-native counterpart of the reference ``Memory`` wrapper
+(reference: rsl_rl/networks/memory.py:13-70). The reference keeps hidden
+states as module attributes, mutates them per step, and replays padded
+trajectory batches for BPTT. Here hidden state is an explicit carry pytree:
+
+- single-step inference: ``Memory.apply(params, carry, x)``,
+- BPTT replay: ``memory_sequence`` runs a time-major ``lax.scan`` with
+  done-masked carry resets, which reproduces the reference's
+  split-and-pad-trajectories replay exactly (a trajectory that starts
+  mid-window had its hidden zeroed at rollout time, so masked resets at the
+  same positions yield identical hidden trajectories) without any padding
+  machinery (replaces utils.py:78-141 + rollout_storage.py:206-260).
+
+Weight init follows torch's RNN default: U(-1/sqrt(hidden), 1/sqrt(hidden))
+for all kernels and biases.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _torch_rnn_init(hidden_size: int):
+    bound = 1.0 / math.sqrt(hidden_size)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Memory(nn.Module):
+    """Stacked GRU/LSTM cells, one step per call.
+
+    Attributes:
+        hidden_size: Hidden dimension of each layer.
+        rnn_type: ``"lstm"`` or ``"gru"`` (reference memory.py:22-24).
+        num_layers: Number of stacked layers.
+    """
+
+    hidden_size: int = 256
+    rnn_type: str = "lstm"
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, carry: Any, x: jax.Array) -> tuple[Any, jax.Array]:
+        """One recurrent step. ``x``: [N, D]; carry: tuple over layers."""
+        init = _torch_rnn_init(self.hidden_size)
+        new_carry = []
+        out = x
+        for layer in range(self.num_layers):
+            if self.rnn_type.lower() == "gru":
+                cell = nn.GRUCell(
+                    features=self.hidden_size,
+                    kernel_init=init,
+                    recurrent_kernel_init=init,
+                    bias_init=init,
+                    name=f"cell_{layer}",
+                )
+            else:
+                cell = nn.OptimizedLSTMCell(
+                    features=self.hidden_size,
+                    kernel_init=init,
+                    recurrent_kernel_init=init,
+                    bias_init=init,
+                    name=f"cell_{layer}",
+                )
+            layer_carry, out = cell(carry[layer], out)
+            new_carry.append(layer_carry)
+        return tuple(new_carry), out
+
+    def initialize_carry(self, batch_size: int) -> Any:
+        """Zero carry: tuple over layers of h (GRU) or (c, h) (LSTM)."""
+        shape = (batch_size, self.hidden_size)
+        if self.rnn_type.lower() == "gru":
+            return tuple(jnp.zeros(shape, jnp.float32) for _ in range(self.num_layers))
+        return tuple(
+            (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+            for _ in range(self.num_layers)
+        )
+
+
+def mask_carry(carry: Any, reset_mask: jax.Array) -> Any:
+    """Zero the carry rows where ``reset_mask`` is set.
+
+    Equivalent of resetting hidden states of done envs
+    (reference: rsl_rl/networks/memory.py:40-56). ``reset_mask``: [N] bool.
+    """
+    mask = reset_mask.astype(jnp.float32)[:, None]
+    return jax.tree.map(lambda h: h * (1.0 - mask), carry)
+
+
+def memory_sequence(
+    apply_step,
+    carry0: Any,
+    xs: jax.Array,
+    resets: jax.Array,
+) -> jax.Array:
+    """Replay a window through the memory, resetting carries at dones.
+
+    Args:
+        apply_step: ``(carry, x) -> (carry, out)`` single-step closure with
+            parameters already bound.
+        carry0: Carry entering the first step (the rollout-window start state,
+            the analog of the reference's stored per-trajectory-start hiddens
+            at rollout_storage.py:239-253).
+        xs: ``[T, N, D]`` inputs.
+        resets: ``[T, N]`` bool; ``resets[t]`` is the done flag of step
+            ``t-1`` (``resets[0]`` must be False — carry0 already reflects any
+            reset at the window boundary).
+
+    Returns:
+        ``[T, N, H]`` outputs.
+    """
+
+    def body(carry, step):
+        x, reset = step
+        carry = mask_carry(carry, reset)
+        carry, out = apply_step(carry, x)
+        return carry, out
+
+    _, outs = jax.lax.scan(body, carry0, (xs, resets))
+    return outs

@@ -1,0 +1,19 @@
+"""Utility layer: resolvers, registry, writers, checkpointing, git snapshot."""
+
+from rsl_rl_tpu.utils.registry import register, registered, resolve
+from rsl_rl_tpu.utils.resolvers import (
+    resolve_nn_activation,
+    resolve_obs_groups,
+    resolve_optimizer,
+    string_to_callable,
+)
+
+__all__ = [
+    "register",
+    "registered",
+    "resolve",
+    "resolve_nn_activation",
+    "resolve_obs_groups",
+    "resolve_optimizer",
+    "string_to_callable",
+]
