@@ -1,0 +1,276 @@
+"""Student-teacher distillation (behavior cloning) algorithm.
+
+TPU-native counterpart of the reference ``Distillation``
+(reference: rsl_rl/algorithms/distillation.py:14-185). The rollout records the
+sampled student action (used to step the env) and the teacher's action
+(``privileged_actions``); the update replays the window sequentially through
+the student and accumulates loss over ``gradient_length`` steps before each
+optimizer step — truncated BPTT, expressed as an outer ``lax.scan`` over
+segments whose body differentiates an inner ``lax.scan`` over the segment's
+steps. Hidden state flows between segments through ``stop_gradient`` (the
+analog of ``detach_hidden_states``) and rewinds to the window-start carry at
+each epoch boundary (the analog of ``reset(hidden_states=last_hidden)``,
+reference distillation.py:111-141).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rsl_rl_tpu.algorithms.ppo import CollectState, EpisodeStats, TrainState, init_episode_stats
+from rsl_rl_tpu.ops import distributions
+from rsl_rl_tpu.storage.rollout import Rollout
+from rsl_rl_tpu.utils.registry import register
+from rsl_rl_tpu.utils.resolvers import resolve_optimizer
+
+
+@register("algorithm")
+class Distillation:
+    """Behavior cloning of teacher actions with truncated BPTT."""
+
+    def __init__(
+        self,
+        policy,
+        num_learning_epochs: int = 1,
+        gradient_length: int = 15,
+        learning_rate: float = 1e-3,
+        max_grad_norm: float | None = None,
+        loss_type: str = "mse",
+        optimizer: str = "adam",
+        **kwargs,
+    ):
+        if kwargs:
+            print(
+                "Distillation.__init__ got unexpected arguments, which will be ignored: "
+                + str(list(kwargs.keys()))
+            )
+        self.policy = policy
+        self.num_learning_epochs = num_learning_epochs
+        self.gradient_length = gradient_length
+        self.learning_rate = learning_rate
+        self.max_grad_norm = max_grad_norm
+
+        if loss_type == "mse":
+            self.loss_fn = lambda a, b: jnp.mean(jnp.square(a - b))
+        elif loss_type == "huber":
+            self.loss_fn = lambda a, b: jnp.mean(optax.huber_loss(a, b, delta=1.0))
+        else:
+            raise ValueError(
+                f"Unknown loss type: {loss_type}. Supported types are: ['mse', 'huber']"
+            )
+
+        direction = resolve_optimizer(optimizer)()
+        if max_grad_norm:
+            # the reference clips only the student MLP parameters
+            # (distillation.py:133) — mask the clip to that subtree
+            def student_only(params):
+                return {
+                    k: jax.tree.map(lambda _: k == "student", v) for k, v in params.items()
+                }
+
+            self.tx = optax.chain(
+                optax.masked(optax.clip_by_global_norm(max_grad_norm), student_only),
+                direction,
+            )
+        else:
+            self.tx = direction
+
+    # ------------------------------------------------------------------ init
+
+    def init_train_state(self, key: jax.Array, num_envs: int) -> TrainState:
+        k_policy, k_rng = jax.random.split(key)
+        policy_state = self.policy.init(k_policy)
+        return TrainState(
+            policy=policy_state,
+            opt_state=self.tx.init(policy_state.params),
+            lr=jnp.asarray(self.learning_rate, jnp.float32),
+            rnd=None,
+            rnd_opt_state=None,
+            it=jnp.zeros((), jnp.int32),
+            rng=k_rng,
+        )
+
+    def init_collect_state(self, key: jax.Array, env) -> CollectState:
+        env_state, obs = env.reset(key)
+        return self.init_collect_state_from(env_state, obs, env.num_envs)
+
+    def init_collect_state_from(self, env_state, obs, num_envs: int) -> CollectState:
+        return CollectState(
+            env_state=env_state,
+            obs=obs,
+            carry=self.policy.initial_carry(num_envs),
+            stats=init_episode_stats(num_envs),
+        )
+
+    # --------------------------------------------------------------- collect
+
+    def make_collect_fn(self, env, num_steps_per_env: int) -> Callable:
+        """Rollout: student acts (sampled), teacher action recorded
+        (reference distillation.py:85-103)."""
+        policy = self.policy
+
+        def step_fn(carry, _):
+            ps, env_state, obs, pol_carry, stats, key, acc = carry
+            key, k_act = jax.random.split(key)
+
+            mean, std, pol_carry = policy.act(ps, obs, pol_carry)
+            action = distributions.sample(k_act, mean, std)
+            privileged_action, pol_carry = policy.evaluate(ps, obs, pol_carry)
+
+            env_state, next_obs, rew, done, extras = env.step(env_state, action)
+            done_f = done.astype(jnp.float32)
+
+            ps = policy.update_normalization(ps, next_obs)
+            pol_carry = policy.reset_carry(pol_carry, done)
+
+            stats = EpisodeStats(
+                cur_reward_sum=stats.cur_reward_sum + rew,
+                cur_episode_length=stats.cur_episode_length + 1.0,
+                cur_ereward_sum=stats.cur_ereward_sum,
+                cur_ireward_sum=stats.cur_ireward_sum,
+            )
+            acc = {
+                "ep_reward_sum": acc["ep_reward_sum"] + jnp.sum(stats.cur_reward_sum * done_f),
+                "ep_length_sum": acc["ep_length_sum"] + jnp.sum(stats.cur_episode_length * done_f),
+                "ep_count": acc["ep_count"] + jnp.sum(done_f),
+            }
+            keep = 1.0 - done_f
+            stats = stats.replace(
+                cur_reward_sum=stats.cur_reward_sum * keep,
+                cur_episode_length=stats.cur_episode_length * keep,
+            )
+
+            log_out = {}
+            for extras_key in ("episode", "log"):
+                if extras_key in extras:
+                    for k, v in extras[extras_key].items():
+                        log_out[k] = jnp.mean(jnp.asarray(v, jnp.float32))
+
+            outputs = (obs, action, privileged_action, rew, done, jnp.mean(std), log_out)
+            return (ps, env_state, next_obs, pol_carry, stats, key, acc), outputs
+
+        def collect(ts: TrainState, cs: CollectState):
+            acc0 = {k: jnp.zeros((), jnp.float32) for k in ("ep_reward_sum", "ep_length_sum", "ep_count")}
+            carry0 = cs.carry
+            init = (ts.policy, cs.env_state, cs.obs, cs.carry, cs.stats, ts.rng, acc0)
+            (ps, env_state, obs, pol_carry, stats, key, acc), outs = jax.lax.scan(
+                step_fn, init, None, length=num_steps_per_env
+            )
+            obs_t, actions, privileged_actions, rewards, dones, stds, log_outs = outs
+
+            rollout = Rollout(
+                obs=obs_t,
+                actions=actions,
+                rewards=rewards,
+                dones=dones,
+                privileged_actions=privileged_actions,
+                carry0=carry0 if policy.is_recurrent else None,
+            )
+            metrics = dict(acc)
+            metrics["ep_ereward_sum"] = jnp.zeros((), jnp.float32)
+            metrics["ep_ireward_sum"] = jnp.zeros((), jnp.float32)
+            metrics["Policy/mean_noise_std"] = jnp.mean(stds)
+            for k, v in log_outs.items():
+                metrics[f"extras/{k}"] = jnp.mean(v)
+
+            ts = ts.replace(policy=ps, rng=key)
+            cs = CollectState(env_state=env_state, obs=obs, carry=pol_carry, stats=stats)
+            return ts, cs, rollout, metrics
+
+        return collect
+
+    # ---------------------------------------------------------------- update
+
+    def make_update_fn(self) -> Callable:
+        """Sequential replay with gradient steps every ``gradient_length``
+        steps (reference distillation.py:105-151)."""
+        policy = self.policy
+        G = self.gradient_length
+
+        def update(ts: TrainState, cs: CollectState, rollout: Rollout):
+            T = rollout.num_steps
+            total_steps = self.num_learning_epochs * T
+            num_segments = total_steps // G
+            resets = rollout.replay_resets()  # [T, N]
+            carry0 = rollout.carry0 if policy.is_recurrent else ()
+
+            def replay_step(params, pol_carry, s):
+                """One BPTT replay step at global step ``s`` (epoch-flattened)."""
+                t = s % T
+                obs_t = jax.tree.map(lambda x: x[t], rollout.obs)
+                # epoch boundary: rewind to window-start carry; else apply
+                # done-masked reset (reference distillation.py:112,140)
+                if policy.is_recurrent:
+                    pol_carry = jax.tree.map(
+                        lambda c0, c: jnp.where(t == 0, jax.lax.stop_gradient(c0), c),
+                        carry0, pol_carry,
+                    )
+                    pol_carry = policy.reset_carry(pol_carry, (t != 0) & resets[t])
+                ps = ts.policy.replace(params=params)
+                action, pol_carry = policy.act_inference(ps, obs_t, pol_carry)
+                loss = self.loss_fn(action, rollout.privileged_actions[t])
+                return loss, pol_carry
+
+            def segment_loss(params, pol_carry, steps):
+                def body(carry, s):
+                    pol_carry, acc = carry
+                    loss, pol_carry = replay_step(params, pol_carry, s)
+                    return (pol_carry, acc + loss), loss
+
+                (pol_carry, total), losses = jax.lax.scan(body, (pol_carry, 0.0), steps)
+                return total, (pol_carry, losses)
+
+            def segment_step(carry, steps):
+                params, opt_state, pol_carry = carry
+                (seg_loss, (pol_carry, losses)), grads = jax.value_and_grad(
+                    segment_loss, has_aux=True
+                )(params, pol_carry, steps)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(
+                    params, jax.tree.map(lambda u: -self.learning_rate * u, updates)
+                )
+                # detach hidden between segments (reference distillation.py:136)
+                pol_carry = jax.lax.stop_gradient(pol_carry)
+                return (params, opt_state, pol_carry), losses
+
+            seg_steps = jnp.arange(num_segments * G, dtype=jnp.int32).reshape(num_segments, G)
+            carry_init = (ts.policy.params, ts.opt_state, carry0)
+            (params, opt_state, pol_carry), seg_losses = jax.lax.scan(
+                segment_step, carry_init, seg_steps
+            )
+            all_losses = [seg_losses.reshape(-1)]
+
+            # trailing steps that never fill a gradient segment still advance
+            # the hidden state and count toward the logged mean
+            # (reference distillation.py:114-126 counts every step)
+            remainder = total_steps - num_segments * G
+            if remainder > 0:
+                def tail_body(carry, s):
+                    pol_carry = carry
+                    loss, pol_carry = replay_step(params, pol_carry, s)
+                    return pol_carry, loss
+
+                pol_carry, tail_losses = jax.lax.scan(
+                    tail_body, pol_carry,
+                    jnp.arange(num_segments * G, total_steps, dtype=jnp.int32),
+                )
+                all_losses.append(tail_losses)
+
+            ts = ts.replace(
+                policy=ts.policy.replace(params=params),
+                opt_state=opt_state,
+                it=ts.it + 1,
+            )
+            # the policy's acting hidden continues from the end of the replay
+            # (reference leaves memory_s at the replay-end state after update)
+            if policy.is_recurrent:
+                cs = cs.replace(carry=jax.lax.stop_gradient(pol_carry))
+
+            metrics = {"Loss/behavior": jnp.mean(jnp.concatenate(all_losses))}
+            return ts, cs, metrics
+
+        return update

@@ -1,0 +1,566 @@
+"""Proximal Policy Optimization as a pair of jitted pure functions.
+
+TPU-native counterpart of the reference ``PPO``
+(reference: rsl_rl/algorithms/ppo.py:19-469). The reference's imperative
+act/process/update cycle becomes:
+
+- ``collect``: one ``lax.scan`` over the rollout window fusing policy forward,
+  action sampling, env step, normalizer updates, RND intrinsic reward, timeout
+  bootstrapping and episode bookkeeping into a single XLA program
+  (replaces ppo.py:129-169 + the runner's Python step loop),
+- ``update``: GAE as a reverse scan (replaces rollout_storage.py:127-149)
+  followed by a ``lax.scan`` over epochs x minibatches carrying
+  ``(params, opt_state, lr, rnd_params, rnd_opt_state)`` — the adaptive-KL
+  learning rate is a traced carry scalar, not a Python-side mutation
+  (replaces ppo.py:178-422).
+
+Under a data-parallel mesh the global batch means inside the loss make XLA
+insert the gradient/KL ``psum``s automatically, replacing the reference's
+manual NCCL choreography (ppo.py:428-469).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rsl_rl_tpu.modules.policy import PolicyState
+from rsl_rl_tpu.modules.rnd import RandomNetworkDistillation, RNDState
+from rsl_rl_tpu.ops import distributions
+from rsl_rl_tpu.ops.gae import compute_gae
+from rsl_rl_tpu.storage.rollout import (
+    Rollout,
+    ff_minibatch_indices,
+    recurrent_minibatch_starts,
+    slice_envs,
+    take_flat,
+)
+from rsl_rl_tpu.utils.registry import register
+from rsl_rl_tpu.utils.resolvers import resolve_optimizer, string_to_callable
+
+
+@struct.dataclass
+class EpisodeStats:
+    """Per-env episode accumulators, kept on device across iterations
+    (replaces the reference's per-step host sync, on_policy_runner.py:113-139).
+    """
+
+    cur_reward_sum: jax.Array
+    cur_episode_length: jax.Array
+    cur_ereward_sum: jax.Array  # extrinsic only (RND logging)
+    cur_ireward_sum: jax.Array  # intrinsic only (RND logging)
+
+
+@struct.dataclass
+class CollectState:
+    """Everything sharded along the env axis: env state, current obs, policy
+    recurrent carry, episode accumulators."""
+
+    env_state: Any
+    obs: dict[str, jax.Array]
+    carry: Any
+    stats: EpisodeStats
+
+
+@struct.dataclass
+class TrainState:
+    """Replicated training state."""
+
+    policy: PolicyState
+    opt_state: Any
+    lr: jax.Array
+    rnd: RNDState | None
+    rnd_opt_state: Any
+    it: jax.Array
+    rng: jax.Array
+
+
+def init_episode_stats(num_envs: int) -> EpisodeStats:
+    z = jnp.zeros((num_envs,), jnp.float32)
+    return EpisodeStats(z, z, z, z)
+
+
+@register("algorithm")
+class PPO:
+    """Clipped-surrogate PPO with adaptive-KL LR, RND and symmetry support."""
+
+    def __init__(
+        self,
+        policy,
+        num_learning_epochs: int = 5,
+        num_mini_batches: int = 4,
+        clip_param: float = 0.2,
+        gamma: float = 0.99,
+        lam: float = 0.95,
+        value_loss_coef: float = 1.0,
+        entropy_coef: float = 0.01,
+        learning_rate: float = 1e-3,
+        max_grad_norm: float = 1.0,
+        use_clipped_value_loss: bool = True,
+        schedule: str = "adaptive",
+        desired_kl: float = 0.01,
+        normalize_advantage_per_mini_batch: bool = False,
+        rnd_cfg: dict | None = None,
+        symmetry_cfg: dict | None = None,
+        optimizer: str = "adam",
+        min_lr: float = 1e-5,
+        max_lr: float = 1e-2,
+        **kwargs,
+    ):
+        if kwargs:
+            print(
+                "PPO.__init__ got unexpected arguments, which will be ignored: "
+                + str(list(kwargs.keys()))
+            )
+        self.policy = policy
+        self.num_learning_epochs = num_learning_epochs
+        self.num_mini_batches = num_mini_batches
+        self.clip_param = clip_param
+        self.gamma = gamma
+        self.lam = lam
+        self.value_loss_coef = value_loss_coef
+        self.entropy_coef = entropy_coef
+        self.learning_rate = learning_rate
+        self.max_grad_norm = max_grad_norm
+        self.use_clipped_value_loss = use_clipped_value_loss
+        self.schedule = schedule
+        self.desired_kl = desired_kl
+        self.normalize_advantage_per_mini_batch = normalize_advantage_per_mini_batch
+        self.min_lr = min_lr
+        self.max_lr = max_lr
+
+        # RND module (reference ppo.py:60-71)
+        self.rnd: RandomNetworkDistillation | None = None
+        self.rnd_learning_rate = None
+        if rnd_cfg is not None:
+            rnd_cfg = dict(rnd_cfg)
+            self.rnd_learning_rate = rnd_cfg.pop("learning_rate", 1e-3)
+            self.rnd = RandomNetworkDistillation(**rnd_cfg)
+
+        # symmetry (reference ppo.py:74-91)
+        self.symmetry = None
+        if symmetry_cfg is not None:
+            symmetry_cfg = dict(symmetry_cfg)
+            use_symmetry = symmetry_cfg["use_data_augmentation"] or symmetry_cfg["use_mirror_loss"]
+            if not use_symmetry:
+                print("Symmetry not used for learning. We will use it for logging instead.")
+            if isinstance(symmetry_cfg["data_augmentation_func"], str):
+                symmetry_cfg["data_augmentation_func"] = string_to_callable(
+                    symmetry_cfg["data_augmentation_func"]
+                )
+            if symmetry_cfg["use_data_augmentation"] and not callable(
+                symmetry_cfg["data_augmentation_func"]
+            ):
+                raise ValueError(
+                    "Data augmentation enabled but the function is not callable:"
+                    f" {symmetry_cfg['data_augmentation_func']}"
+                )
+            if policy.is_recurrent and use_symmetry:
+                raise NotImplementedError(
+                    "Symmetry augmentation with recurrent policies is not supported yet."
+                )
+            self.symmetry = symmetry_cfg
+
+        # optimizer: clip -> direction transform; the -lr scale is applied
+        # manually from the carried adaptive learning rate
+        direction = resolve_optimizer(optimizer)()
+        if max_grad_norm is not None:
+            self.tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), direction)
+        else:
+            self.tx = direction
+        self.rnd_tx = optax.scale_by_adam() if self.rnd is not None else None
+
+    # ------------------------------------------------------------------ init
+
+    def init_train_state(self, key: jax.Array, num_envs: int) -> TrainState:
+        k_policy, k_rnd, k_rng = jax.random.split(key, 3)
+        policy_state = self.policy.init(k_policy)
+        opt_state = self.tx.init(policy_state.params)
+        rnd_state = None
+        rnd_opt_state = None
+        if self.rnd is not None:
+            rnd_state = self.rnd.init(k_rnd, num_envs)
+            rnd_opt_state = self.rnd_tx.init(rnd_state.predictor)
+        return TrainState(
+            policy=policy_state,
+            opt_state=opt_state,
+            lr=jnp.asarray(self.learning_rate, jnp.float32),
+            rnd=rnd_state,
+            rnd_opt_state=rnd_opt_state,
+            it=jnp.zeros((), jnp.int32),
+            rng=k_rng,
+        )
+
+    def init_collect_state(self, key: jax.Array, env) -> CollectState:
+        env_state, obs = env.reset(key)
+        return self.init_collect_state_from(env_state, obs, env.num_envs)
+
+    def init_collect_state_from(self, env_state, obs, num_envs: int) -> CollectState:
+        return CollectState(
+            env_state=env_state,
+            obs=obs,
+            carry=self.policy.initial_carry(num_envs),
+            stats=init_episode_stats(num_envs),
+        )
+
+    # --------------------------------------------------------------- collect
+
+    def make_collect_fn(self, env, num_steps_per_env: int) -> Callable:
+        """Build the rollout-collection function (one scan over the window).
+
+        Fuses the reference's act / env.step / process_env_step cycle
+        (ppo.py:129-169, on_policy_runner.py:100-139) into one XLA program.
+        """
+        policy = self.policy
+        rnd = self.rnd
+        gamma = self.gamma
+
+        def step_fn(carry, _):
+            ps, rnd_state, env_state, obs, pol_carry, stats, key, acc = carry
+            key, k_act = jax.random.split(key)
+
+            # policy forward + sample (reference ppo.py:132-137)
+            mean, std, pol_carry = policy.act(ps, obs, pol_carry)
+            action = distributions.sample(k_act, mean, std)
+            log_p = distributions.log_prob(mean, std, action)
+            value, pol_carry = policy.value(ps, obs, pol_carry)
+
+            # env step
+            env_state, next_obs, rew, done, extras = env.step(env_state, action)
+            done_f = done.astype(jnp.float32)
+
+            # normalizer updates on the post-step obs (reference ppo.py:144-146)
+            ps = policy.update_normalization(ps, next_obs)
+
+            # RND intrinsic reward on the post-step obs (reference ppo.py:148-158)
+            irew = jnp.zeros_like(rew)
+            if rnd is not None:
+                rnd_state = rnd.update_normalization(rnd_state, next_obs)
+                rnd_state, irew, _ = rnd.get_intrinsic_reward(rnd_state, next_obs)
+            total_rew = rew + irew
+
+            # bootstrap on timeouts (reference ppo.py:160-164)
+            if "time_outs" in extras:
+                total_rew = total_rew + gamma * value * extras["time_outs"].astype(jnp.float32)
+
+            # reset recurrent state of done envs (reference ppo.py:169)
+            pol_carry = policy.reset_carry(pol_carry, done)
+
+            # episode bookkeeping, fully on device
+            # (replaces on_policy_runner.py:113-139)
+            stats = EpisodeStats(
+                cur_reward_sum=stats.cur_reward_sum + rew + irew,
+                cur_episode_length=stats.cur_episode_length + 1.0,
+                cur_ereward_sum=stats.cur_ereward_sum + rew,
+                cur_ireward_sum=stats.cur_ireward_sum + irew,
+            )
+            acc = {
+                "ep_reward_sum": acc["ep_reward_sum"] + jnp.sum(stats.cur_reward_sum * done_f),
+                "ep_length_sum": acc["ep_length_sum"] + jnp.sum(stats.cur_episode_length * done_f),
+                "ep_ereward_sum": acc["ep_ereward_sum"] + jnp.sum(stats.cur_ereward_sum * done_f),
+                "ep_ireward_sum": acc["ep_ireward_sum"] + jnp.sum(stats.cur_ireward_sum * done_f),
+                "ep_count": acc["ep_count"] + jnp.sum(done_f),
+            }
+            keep = 1.0 - done_f
+            stats = EpisodeStats(
+                cur_reward_sum=stats.cur_reward_sum * keep,
+                cur_episode_length=stats.cur_episode_length * keep,
+                cur_ereward_sum=stats.cur_ereward_sum * keep,
+                cur_ireward_sum=stats.cur_ireward_sum * keep,
+            )
+
+            # per-step extras logging (reference on_policy_runner.py:113-117)
+            log_out = {}
+            for extras_key in ("episode", "log"):
+                if extras_key in extras:
+                    for k, v in extras[extras_key].items():
+                        log_out[k] = jnp.mean(jnp.asarray(v, jnp.float32))
+
+            outputs = (obs, action, total_rew, done, value, log_p, mean, std, log_out)
+            return (ps, rnd_state, env_state, next_obs, pol_carry, stats, key, acc), outputs
+
+        def collect(ts: TrainState, cs: CollectState):
+            acc0 = {
+                k: jnp.zeros((), jnp.float32)
+                for k in ("ep_reward_sum", "ep_length_sum", "ep_ereward_sum", "ep_ireward_sum", "ep_count")
+            }
+            carry0 = cs.carry
+            init = (ts.policy, ts.rnd, cs.env_state, cs.obs, cs.carry, cs.stats, ts.rng, acc0)
+            (ps, rnd_state, env_state, obs, pol_carry, stats, key, acc), outs = jax.lax.scan(
+                step_fn, init, None, length=num_steps_per_env
+            )
+            obs_t, actions, rewards, dones, values, log_probs, mu, sigma, log_outs = outs
+
+            rollout = Rollout(
+                obs=obs_t,
+                actions=actions,
+                rewards=rewards,
+                dones=dones,
+                values=values,
+                log_probs=log_probs,
+                mu=mu,
+                sigma=sigma,
+                carry0=carry0 if policy.is_recurrent else None,
+            )
+            metrics = dict(acc)
+            metrics["Policy/mean_noise_std"] = jnp.mean(sigma)
+            if rnd is not None:
+                metrics["Rnd/weight"] = rnd.current_weight(rnd_state.counter)
+            for k, v in log_outs.items():
+                metrics[f"extras/{k}"] = jnp.mean(v)
+
+            ts = ts.replace(policy=ps, rnd=rnd_state, rng=key)
+            cs = CollectState(env_state=env_state, obs=obs, carry=pol_carry, stats=stats)
+            return ts, cs, rollout, metrics
+
+        return collect
+
+    # ---------------------------------------------------------------- update
+
+    def make_update_fn(self) -> Callable:
+        """Build the learning-phase function: GAE + epochs x minibatches scan
+        (replaces reference ppo.py:171-422)."""
+        policy = self.policy
+        rnd = self.rnd
+        symmetry = self.symmetry
+
+        def update(ts: TrainState, cs: CollectState, rollout: Rollout):
+            T, N = rollout.num_steps, rollout.num_envs
+
+            # value of the post-rollout obs; for recurrent policies this
+            # advances the critic memory, matching the reference's stateful
+            # evaluate in compute_returns (ppo.py:171-176)
+            last_values, carry = policy.value(ts.policy, cs.obs, cs.carry)
+            cs = cs.replace(carry=carry)
+
+            returns, advantages = compute_gae(
+                rollout.rewards,
+                rollout.values,
+                rollout.dones.astype(jnp.float32),
+                last_values,
+                self.gamma,
+                self.lam,
+                normalize_advantage=not self.normalize_advantage_per_mini_batch,
+            )
+
+            rng, key_perm = jax.random.split(ts.rng)
+            ts = ts.replace(rng=rng)
+
+            if policy.is_recurrent:
+                xs = recurrent_minibatch_starts(N, self.num_mini_batches, self.num_learning_epochs)
+            else:
+                xs = ff_minibatch_indices(
+                    key_perm, T * N, self.num_mini_batches, self.num_learning_epochs
+                )
+
+            resets = rollout.replay_resets()
+            data = {
+                "obs": rollout.obs,
+                "actions": rollout.actions,
+                "values": rollout.values,
+                "returns": returns,
+                "advantages": advantages,
+                "log_probs": rollout.log_probs,
+                "mu": rollout.mu,
+                "sigma": rollout.sigma,
+                "resets": resets,
+            }
+            nb = N // self.num_mini_batches
+
+            def minibatch_step(carry, x):
+                params, opt_state, lr, rnd_pred, rnd_opt = carry
+
+                if policy.is_recurrent:
+                    batch = slice_envs(data, x, nb)
+                    batch_carry0 = jax.tree.map(
+                        lambda h: jax.lax.dynamic_slice_in_dim(h, x, nb, axis=0),
+                        rollout.carry0,
+                    )
+                else:
+                    batch = take_flat(data, x)
+                    batch_carry0 = None
+
+                (loss_val, aux), grads = jax.value_and_grad(
+                    self._loss, has_aux=True, argnums=(0, 1)
+                )(params, rnd_pred, ts.policy, ts.rnd, batch, batch_carry0)
+                policy_grads, rnd_grads = grads
+
+                # adaptive-KL learning rate (reference ppo.py:260-294); under
+                # a mesh the KL is a global batch mean, so every replica
+                # adapts identically — no broadcast needed
+                if self.desired_kl is not None and self.schedule == "adaptive":
+                    kl_mean = aux["kl"]
+                    lr = jnp.where(
+                        kl_mean > self.desired_kl * 2.0,
+                        jnp.maximum(self.min_lr, lr / 1.5),
+                        jnp.where(
+                            (kl_mean < self.desired_kl / 2.0) & (kl_mean > 0.0),
+                            jnp.minimum(self.max_lr, lr * 1.5),
+                            lr,
+                        ),
+                    )
+
+                updates, opt_state = self.tx.update(policy_grads, opt_state, params)
+                params = optax.apply_updates(params, jax.tree.map(lambda u: -lr * u, updates))
+
+                if rnd is not None:
+                    rnd_updates, rnd_opt = self.rnd_tx.update(rnd_grads, rnd_opt, rnd_pred)
+                    rnd_pred = optax.apply_updates(
+                        rnd_pred,
+                        jax.tree.map(lambda u: -self.rnd_learning_rate * u, rnd_updates),
+                    )
+
+                out = {k: v for k, v in aux.items()}
+                out["learning_rate"] = lr
+                return (params, opt_state, lr, rnd_pred, rnd_opt), out
+
+            rnd_pred0 = ts.rnd.predictor if rnd is not None else None
+            carry_init = (ts.policy.params, ts.opt_state, ts.lr, rnd_pred0, ts.rnd_opt_state)
+            (params, opt_state, lr, rnd_pred, rnd_opt), outs = jax.lax.scan(
+                minibatch_step, carry_init, xs
+            )
+
+            new_policy = ts.policy.replace(params=params)
+            new_rnd = ts.rnd.replace(predictor=rnd_pred) if rnd is not None else None
+            ts = ts.replace(
+                policy=new_policy,
+                opt_state=opt_state,
+                lr=lr,
+                rnd=new_rnd,
+                rnd_opt_state=rnd_opt,
+                it=ts.it + 1,
+            )
+
+            # mean over all epochs x minibatches (reference ppo.py:386-407)
+            metrics = {f"Loss/{k}" if not k.startswith("Loss/") else k: jnp.mean(v)
+                       for k, v in outs.items() if k != "learning_rate"}
+            metrics["Loss/learning_rate"] = outs["learning_rate"][-1]
+            return ts, cs, metrics
+
+        return update
+
+    # ------------------------------------------------------------------ loss
+
+    def _loss(self, params, rnd_pred, policy_state: PolicyState, rnd_state, batch, batch_carry0):
+        """Per-minibatch PPO loss (reference ppo.py:246-363).
+
+        Shapes: feedforward batches are ``[B, ...]``; recurrent batches are
+        ``[T, nb, ...]`` and the policy replays them through its memory. All
+        reductions are global means, so the same code serves both.
+        """
+        policy = self.policy
+        ps = policy_state.replace(params=params)
+
+        obs_batch = batch["obs"]
+        actions_batch = batch["actions"]
+        old_logp = batch["log_probs"]
+        old_mu = batch["mu"]
+        old_sigma = batch["sigma"]
+        target_values = batch["values"]
+        returns_batch = batch["returns"]
+        advantages_batch = batch["advantages"]
+        resets = batch["resets"]
+
+        if self.normalize_advantage_per_mini_batch:
+            adv_mean = jnp.mean(advantages_batch)
+            adv_std = jnp.std(advantages_batch, ddof=1)
+            advantages_batch = (advantages_batch - adv_mean) / (adv_std + 1e-8)
+
+        original_batch = actions_batch.shape[0]
+        num_aug = 1
+        aug_fn = None
+        if self.symmetry is not None and self.symmetry["use_data_augmentation"]:
+            # symmetry data augmentation (reference ppo.py:226-244)
+            aug_fn = self.symmetry["data_augmentation_func"]
+            obs_batch, actions_batch = aug_fn(
+                obs=obs_batch, actions=actions_batch, env=self.symmetry["_env"]
+            )
+            num_aug = actions_batch.shape[0] // original_batch
+            old_logp = jnp.tile(old_logp, (num_aug,))
+            target_values = jnp.tile(target_values, (num_aug,))
+            advantages_batch = jnp.tile(advantages_batch, (num_aug,))
+            returns_batch = jnp.tile(returns_batch, (num_aug,))
+
+        mean, std = policy.act_seq(ps, obs_batch, batch_carry0, resets)
+        logp = distributions.log_prob(mean, std, actions_batch)
+        value = policy.value_seq(ps, obs_batch, batch_carry0, resets)
+        entropy = distributions.entropy(std[:original_batch])
+
+        # analytic KL on the original (non-augmented) part (ppo.py:260-269)
+        kl = distributions.kl_divergence(
+            old_mu[:original_batch], old_sigma[:original_batch],
+            jax.lax.stop_gradient(mean[:original_batch]),
+            jax.lax.stop_gradient(std[:original_batch]),
+        )
+        kl_mean = jnp.mean(kl)
+
+        # clipped surrogate (ppo.py:296-302)
+        ratio = jnp.exp(logp - old_logp)
+        surrogate = -advantages_batch * ratio
+        surrogate_clipped = -advantages_batch * jnp.clip(
+            ratio, 1.0 - self.clip_param, 1.0 + self.clip_param
+        )
+        surrogate_loss = jnp.mean(jnp.maximum(surrogate, surrogate_clipped))
+
+        # value loss, optionally clipped (ppo.py:304-313)
+        if self.use_clipped_value_loss:
+            value_clipped = target_values + jnp.clip(
+                value - target_values, -self.clip_param, self.clip_param
+            )
+            value_losses = jnp.square(value - returns_batch)
+            value_losses_clipped = jnp.square(value_clipped - returns_batch)
+            value_loss = jnp.mean(jnp.maximum(value_losses, value_losses_clipped))
+        else:
+            value_loss = jnp.mean(jnp.square(returns_batch - value))
+
+        entropy_mean = jnp.mean(entropy)
+        loss = (
+            surrogate_loss
+            + self.value_loss_coef * value_loss
+            - self.entropy_coef * entropy_mean
+        )
+
+        aux = {
+            "value_function": value_loss,
+            "surrogate": surrogate_loss,
+            "entropy": entropy_mean,
+            "kl": kl_mean,
+        }
+
+        # symmetry mirror loss (ppo.py:317-348)
+        if self.symmetry is not None:
+            if aug_fn is None:
+                aug_fn = self.symmetry["data_augmentation_func"]
+                obs_batch, _ = aug_fn(obs=obs_batch, actions=None, env=self.symmetry["_env"])
+                num_aug = next(iter(obs_batch.values())).shape[0] // original_batch
+            mean_actions, _ = policy.act_inference(
+                ps, jax.tree.map(jax.lax.stop_gradient, obs_batch), ()
+            )
+            action_mean_orig = mean_actions[:original_batch]
+            _, actions_mean_symm = aug_fn(
+                obs=None, actions=action_mean_orig, env=self.symmetry["_env"]
+            )
+            symmetry_loss = jnp.mean(
+                jnp.square(
+                    mean_actions[original_batch:]
+                    - jax.lax.stop_gradient(actions_mean_symm[original_batch:])
+                )
+            )
+            if self.symmetry["use_mirror_loss"]:
+                loss = loss + self.symmetry["mirror_loss_coeff"] * symmetry_loss
+            else:
+                symmetry_loss = jax.lax.stop_gradient(symmetry_loss)
+            aux["symmetry"] = symmetry_loss
+
+        # RND predictor loss on the original batch (ppo.py:350-363)
+        if self.rnd is not None:
+            orig_obs = jax.tree.map(lambda x: x[:original_batch], obs_batch)
+            rnd_loss = self.rnd.predictor_loss(rnd_pred, rnd_state, orig_obs)
+            loss = loss + rnd_loss
+            aux["rnd"] = rnd_loss
+
+        return loss, aux

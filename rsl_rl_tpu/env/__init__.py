@@ -1,0 +1,7 @@
+"""Environment contract and built-in JAX-native environments."""
+
+from rsl_rl_tpu.env.pendulum import Pendulum
+from rsl_rl_tpu.env.toy import PointMass
+from rsl_rl_tpu.env.vec_env import EnvState, VecEnv
+
+__all__ = ["VecEnv", "EnvState", "Pendulum", "PointMass"]

@@ -15,7 +15,12 @@ import jax
 import jax.numpy as jnp
 
 from rsl_rl_tpu.networks.mlp import MLP
-from rsl_rl_tpu.modules.policy import PolicyState, concat_obs, obs_set_dim
+from rsl_rl_tpu.modules.policy import (
+    PolicyState,
+    check_state_compatible,
+    concat_obs,
+    obs_set_dim,
+)
 from rsl_rl_tpu.ops import distributions
 from rsl_rl_tpu.ops.running_norm import (
     init_running_norm,
@@ -215,6 +220,9 @@ class ActorCritic:
         """Restore policy state from a checkpoint.
 
         Returns the resume flag consumed by ``OnPolicyRunner.load``
-        (reference actor_critic.py:181-195: always resumes).
+        (reference actor_critic.py:181-195: always resumes). Raises when the
+        checkpoint does not structurally match the configured model, like
+        torch's strict ``load_state_dict``.
         """
+        check_state_compatible(ps, loaded)
         return loaded, True

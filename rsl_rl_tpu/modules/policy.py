@@ -66,3 +66,34 @@ def obs_set_dim(obs: dict[str, jax.Array], groups: list[str]) -> int:
 def dummy_obs_like(obs: dict[str, jax.Array]) -> dict[str, jax.Array]:
     """A batch-1 zero observation dict with the same group shapes."""
     return {k: jnp.zeros((1,) + tuple(v.shape[1:]), jnp.float32) for k, v in obs.items()}
+
+
+def check_state_compatible(current: Any, loaded: Any, what: str = "policy state") -> None:
+    """Validate that a loaded pytree matches the current one structurally.
+
+    The equivalent of torch's strict ``load_state_dict`` checking
+    (the reference raises on key/shape mismatch). Raises ``ValueError``
+    naming the offending leaves instead of failing later inside XLA.
+    """
+    cur_paths = {
+        jax.tree_util.keystr(p): jnp.shape(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(current)[0]
+    }
+    new_paths = {
+        jax.tree_util.keystr(p): jnp.shape(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(loaded)[0]
+    }
+    missing = sorted(set(cur_paths) - set(new_paths))
+    unexpected = sorted(set(new_paths) - set(cur_paths))
+    mismatched = sorted(
+        f"{k}: expected {cur_paths[k]}, got {new_paths[k]}"
+        for k in set(cur_paths) & set(new_paths)
+        if cur_paths[k] != new_paths[k]
+    )
+    if missing or unexpected or mismatched:
+        raise ValueError(
+            f"Loaded {what} is incompatible with the current model configuration.\n"
+            + (f"  missing keys: {missing[:8]}\n" if missing else "")
+            + (f"  unexpected keys: {unexpected[:8]}\n" if unexpected else "")
+            + (f"  shape mismatches: {mismatched[:8]}\n" if mismatched else "")
+        )

@@ -19,7 +19,12 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from rsl_rl_tpu.modules.policy import PolicyState, concat_obs, obs_set_dim
+from rsl_rl_tpu.modules.policy import (
+    PolicyState,
+    check_state_compatible,
+    concat_obs,
+    obs_set_dim,
+)
 from rsl_rl_tpu.networks.mlp import MLP
 from rsl_rl_tpu.ops.running_norm import init_running_norm, normalize, update_running_norm
 from rsl_rl_tpu.utils.registry import register
@@ -168,6 +173,7 @@ class StudentTeacher:
         loaded_params = loaded.params if isinstance(loaded, PolicyState) else loaded["params"]
         if "actor" in loaded_params:
             aux = dict(ps.aux)
+            check_state_compatible(aux["teacher"], loaded_params["actor"], "teacher network")
             aux["teacher"] = loaded_params["actor"]
             loaded_norm = loaded.norm if isinstance(loaded, PolicyState) else loaded["norm"]
             if loaded_norm.get("actor") is not None and aux.get("teacher_norm") is not None:
@@ -175,6 +181,7 @@ class StudentTeacher:
             self.loaded_teacher = True
             return ps.replace(aux=aux), False
         if "student" in loaded_params:
+            check_state_compatible(ps, loaded)
             self.loaded_teacher = True
             return loaded, True
         raise ValueError("state does not contain student or teacher parameters")

@@ -16,7 +16,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from rsl_rl_tpu.modules.policy import PolicyState
+from rsl_rl_tpu.modules.policy import PolicyState, check_state_compatible
 from rsl_rl_tpu.modules.student_teacher import StudentTeacher
 from rsl_rl_tpu.networks.memory import Memory, mask_carry
 from rsl_rl_tpu.ops.running_norm import init_running_norm
@@ -149,6 +149,7 @@ class StudentTeacherRecurrent(StudentTeacher):
         loaded_params = loaded.params if isinstance(loaded, PolicyState) else loaded["params"]
         if "actor" in loaded_params:
             aux = dict(ps.aux)
+            check_state_compatible(aux["teacher"], loaded_params["actor"], "teacher network")
             aux["teacher"] = loaded_params["actor"]
             loaded_norm = loaded.norm if isinstance(loaded, PolicyState) else loaded["norm"]
             if loaded_norm.get("actor") is not None and aux.get("teacher_norm") is not None:
@@ -165,6 +166,7 @@ class StudentTeacherRecurrent(StudentTeacher):
             self.loaded_teacher = True
             return ps.replace(aux=aux), False
         if "student" in loaded_params:
+            check_state_compatible(ps, loaded)
             self.loaded_teacher = True
             return loaded, True
         raise ValueError("state does not contain student or teacher parameters")

@@ -1,0 +1,356 @@
+"""On-policy training runner — the user-facing API.
+
+TPU-native counterpart of the reference ``OnPolicyRunner``
+(reference: rsl_rl/runners/on_policy_runner.py:22-460). The Python-side loop
+only dispatches two jitted functions per iteration (collect, update) and reads
+back a small metrics dict — all rollout stepping, bookkeeping, GAE and
+minibatch optimization stay on device. Multi-device data parallelism is
+configured by sharding the collect state along a ``("data",)`` mesh; there is
+no rank logic because every replica computes identical (replicated) training
+state by construction.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import time
+import warnings
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rsl_rl_tpu
+from rsl_rl_tpu.algorithms.ppo import PPO
+from rsl_rl_tpu.env.vec_env import VecEnv
+from rsl_rl_tpu.modules.rnd import resolve_rnd_config
+from rsl_rl_tpu.modules.symmetry import resolve_symmetry_config
+from rsl_rl_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated,
+    shard_tree,
+)
+from rsl_rl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from rsl_rl_tpu.utils.git_state import store_code_state
+from rsl_rl_tpu.utils.registry import resolve
+from rsl_rl_tpu.utils.resolvers import resolve_obs_groups
+from rsl_rl_tpu.utils.writers import make_writer
+
+
+class OnPolicyRunner:
+    """On-policy runner for training and evaluation of actor-critic methods."""
+
+    training_type = "rl"
+
+    def __init__(self, env: VecEnv, train_cfg: dict, log_dir: str | None = None, device=None):
+        self.cfg = train_cfg
+        self.alg_cfg = dict(train_cfg["algorithm"])
+        self.policy_cfg = dict(train_cfg["policy"])
+        self.env = env
+        self.log_dir = log_dir
+        self.device = device  # kept for API parity; placement is mesh-driven
+
+        self.num_steps_per_env = self.cfg["num_steps_per_env"]
+        self.save_interval = self.cfg["save_interval"]
+
+        # ---- mesh over all devices (data parallelism; SURVEY.md §5.8)
+        devices = jax.devices() if device is None else None
+        self.mesh = make_mesh(devices) if (devices is None or len(devices) >= 1) else None
+        self.num_devices = len(self.mesh.devices.flatten())
+        if env.num_envs % self.num_devices != 0:
+            raise ValueError(
+                f"num_envs ({env.num_envs}) must be divisible by the device count"
+                f" ({self.num_devices}) for data-parallel sharding."
+            )
+
+        # ---- RNG
+        seed = int(self.cfg.get("seed", 1))
+        key = jax.random.PRNGKey(seed)
+        self._key, key_env, key_state = jax.random.split(key, 3)
+
+        # ---- probe observations + resolve obs sets
+        # (reference on_policy_runner.py:40-44)
+        self._env_state0, obs = env.reset(key_env)
+        default_sets = ["critic"] if self.training_type == "rl" else ["teacher"]
+        if self.training_type == "rl" and self.alg_cfg.get("rnd_cfg") is not None:
+            default_sets.append("rnd_state")
+        self.cfg["obs_groups"] = resolve_obs_groups(obs, self.cfg["obs_groups"], default_sets)
+
+        # ---- construct policy + algorithm (reference :397-436)
+        self.alg = self._construct_algorithm(obs)
+
+        # ---- initial train/collect state, sharded over the mesh
+        ts = self.alg.init_train_state(key_state, env.num_envs)
+        cs = self.alg.init_collect_state_from(self._env_state0, obs, env.num_envs)
+        if self.num_devices > 1:
+            ts = shard_tree(ts, replicated(self.mesh))
+            cs = shard_tree(cs, data_sharding(self.mesh))
+        self.train_state = ts
+        self.collect_state = cs
+
+        # ---- jitted step functions
+        # Note: the collect state (env state / obs / carry) is deliberately
+        # NOT donated — donating it makes scalar outputs untransferable on the
+        # tunneled TPU backend (INVALID_ARGUMENT on device_get), and the
+        # buffers are small anyway. Train state and rollout are donated.
+        self._collect = jax.jit(
+            self.alg.make_collect_fn(env, self.num_steps_per_env), donate_argnums=(0,)
+        )
+        self._update = jax.jit(self.alg.make_update_fn(), donate_argnums=(0, 2))
+
+        # ---- logging state
+        self.disable_logs = jax.process_index() != 0
+        self.writer = None
+        self.logger_type = self.cfg.get("logger", "tensorboard")
+        self.tot_timesteps = 0
+        self.tot_time = 0.0
+        self.current_learning_iteration = 0
+        self.git_status_repos = [rsl_rl_tpu.__file__]
+        # 100-episode reward/length windows (reference uses per-episode
+        # deques, on_policy_runner.py:76-139; we aggregate per iteration on
+        # device and window host-side by episode count)
+        self._ep_window = deque()  # tuples (rew_sum, len_sum, erew, irew, count)
+
+    # ----------------------------------------------------------- construction
+
+    def _construct_algorithm(self, obs) -> PPO:
+        """Build policy + algorithm from config dicts via the registry
+        (replaces the reference's ``eval()`` dispatch, :418-424)."""
+        self.alg_cfg = resolve_rnd_config(self.alg_cfg, obs, self.cfg["obs_groups"], self.env)
+        self.alg_cfg = resolve_symmetry_config(self.alg_cfg, self.env)
+
+        # deprecated `empirical_normalization` shim (reference :406-415)
+        if self.cfg.get("empirical_normalization") is not None:
+            warnings.warn(
+                "The `empirical_normalization` parameter is deprecated. Please set"
+                " `actor_obs_normalization` and `critic_obs_normalization` as part of the `policy`"
+                " configuration instead.",
+                DeprecationWarning,
+            )
+            if self.policy_cfg.get("actor_obs_normalization") is None:
+                self.policy_cfg["actor_obs_normalization"] = self.cfg["empirical_normalization"]
+            if self.policy_cfg.get("critic_obs_normalization") is None:
+                self.policy_cfg["critic_obs_normalization"] = self.cfg["empirical_normalization"]
+
+        policy_class = resolve("policy", self.policy_cfg.pop("class_name"))
+        policy = policy_class(obs, self.cfg["obs_groups"], self.env.num_actions, **self.policy_cfg)
+
+        alg_class = resolve("algorithm", self.alg_cfg.pop("class_name"))
+        return alg_class(policy, **self.alg_cfg)
+
+    # ----------------------------------------------------------------- train
+
+    def learn(self, num_learning_iterations: int, init_at_random_ep_len: bool = False) -> None:
+        self._prepare_logging_writer()
+
+        if init_at_random_ep_len:
+            self._key, k = jax.random.split(self._key)
+            env_state = self.env.randomize_episode_length(self.collect_state.env_state, k)
+            self.collect_state = self.collect_state.replace(env_state=env_state)
+
+        start_iter = self.current_learning_iteration
+        tot_iter = start_iter + num_learning_iterations
+        for it in range(start_iter, tot_iter):
+            start = time.time()
+            ts, cs, rollout, cm = self._collect(self.train_state, self.collect_state)
+            jax.block_until_ready(cm)
+            collection_time = time.time() - start
+
+            start = time.time()
+            ts, cs, um = self._update(ts, cs, rollout)
+            jax.block_until_ready(um)
+            learn_time = time.time() - start
+
+            self.train_state, self.collect_state = ts, cs
+            self.current_learning_iteration = it
+
+            metrics = {k: float(v) for k, v in jax.device_get({**cm, **um}).items()}
+            if self.log_dir is not None and not self.disable_logs:
+                self._log(it, start_iter, tot_iter, metrics, collection_time, learn_time)
+                if it % self.save_interval == 0:
+                    self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
+            if it == start_iter and self.log_dir is not None and not self.disable_logs:
+                git_file_paths = store_code_state(self.log_dir, self.git_status_repos)
+                if self.logger_type in ["wandb", "neptune"] and git_file_paths:
+                    for path in git_file_paths:
+                        self.writer.save_file(path)
+
+        if self.log_dir is not None and not self.disable_logs:
+            self.save(os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt"))
+
+    # --------------------------------------------------------------- logging
+
+    def _episode_window_stats(self, metrics: dict) -> tuple[float, float, float, float, float]:
+        """Maintain an ~100-episode trailing window from per-iteration
+        aggregates and return its means."""
+        self._ep_window.append(
+            (
+                metrics.get("ep_reward_sum", 0.0),
+                metrics.get("ep_length_sum", 0.0),
+                metrics.get("ep_ereward_sum", 0.0),
+                metrics.get("ep_ireward_sum", 0.0),
+                metrics.get("ep_count", 0.0),
+            )
+        )
+        while (
+            len(self._ep_window) > 1
+            and sum(e[4] for e in self._ep_window) - self._ep_window[0][4] >= 100
+        ):
+            self._ep_window.popleft()
+        count = sum(e[4] for e in self._ep_window)
+        if count == 0:
+            return 0.0, 0.0, 0.0, 0.0, 0.0
+        return (
+            sum(e[0] for e in self._ep_window) / count,
+            sum(e[1] for e in self._ep_window) / count,
+            sum(e[2] for e in self._ep_window) / count,
+            sum(e[3] for e in self._ep_window) / count,
+            count,
+        )
+
+    def _log(self, it, start_iter, tot_iter, metrics, collection_time, learn_time, width=80, pad=35):
+        collection_size = self.num_steps_per_env * self.env.num_envs
+        self.tot_timesteps += collection_size
+        iteration_time = collection_time + learn_time
+        self.tot_time += iteration_time
+        fps = int(collection_size / iteration_time)
+
+        mean_reward, mean_ep_len, mean_erew, mean_irew, ep_count = self._episode_window_stats(metrics)
+
+        loss_items = {
+            k.removeprefix("Loss/"): v for k, v in metrics.items() if k.startswith("Loss/")
+        }
+        for name, value in loss_items.items():
+            self.writer.add_scalar(f"Loss/{name}", value, it)
+        mean_std = metrics.get("Policy/mean_noise_std", 0.0)
+        self.writer.add_scalar("Policy/mean_noise_std", mean_std, it)
+        self.writer.add_scalar("Perf/total_fps", fps, it)
+        self.writer.add_scalar("Perf/collection time", collection_time, it)
+        self.writer.add_scalar("Perf/learning_time", learn_time, it)
+        for k, v in metrics.items():
+            if k.startswith("extras/"):
+                key = k.removeprefix("extras/")
+                tag = key if "/" in key else f"Episode/{key}"
+                self.writer.add_scalar(tag, v, it)
+        if "Rnd/weight" in metrics:
+            self.writer.add_scalar("Rnd/weight", metrics["Rnd/weight"], it)
+        if ep_count > 0:
+            if "Rnd/weight" in metrics:
+                self.writer.add_scalar("Rnd/mean_extrinsic_reward", mean_erew, it)
+                self.writer.add_scalar("Rnd/mean_intrinsic_reward", mean_irew, it)
+            self.writer.add_scalar("Train/mean_reward", mean_reward, it)
+            self.writer.add_scalar("Train/mean_episode_length", mean_ep_len, it)
+            if self.logger_type != "wandb":
+                self.writer.add_scalar("Train/mean_reward/time", mean_reward, self.tot_time)
+                self.writer.add_scalar("Train/mean_episode_length/time", mean_ep_len, self.tot_time)
+
+        header = f" \033[1m Learning iteration {it}/{tot_iter} \033[0m "
+        log_string = (
+            f"""{'#' * width}\n"""
+            f"""{header.center(width, ' ')}\n\n"""
+            f"""{'Computation:':>{pad}} {fps:.0f} steps/s (collection: {collection_time:.3f}s, learning {learn_time:.3f}s)\n"""
+            f"""{'Mean action noise std:':>{pad}} {mean_std:.2f}\n"""
+        )
+        for name, value in loss_items.items():
+            if name in ("kl", "learning_rate"):
+                continue
+            log_string += f"""{f'Mean {name} loss:':>{pad}} {value:.4f}\n"""
+        if ep_count > 0:
+            log_string += f"""{'Mean reward:':>{pad}} {mean_reward:.2f}\n"""
+            log_string += f"""{'Mean episode length:':>{pad}} {mean_ep_len:.2f}\n"""
+        log_string += (
+            f"""{'-' * width}\n"""
+            f"""{'Total timesteps:':>{pad}} {self.tot_timesteps}\n"""
+            f"""{'Iteration time:':>{pad}} {iteration_time:.2f}s\n"""
+            f"""{'Time elapsed:':>{pad}} {time.strftime('%H:%M:%S', time.gmtime(self.tot_time))}\n"""
+            f"""{'ETA:':>{pad}} {time.strftime('%H:%M:%S', time.gmtime(self.tot_time / (it - start_iter + 1) * (tot_iter - it - 1)))}\n"""
+        )
+        print(log_string)
+
+    def _prepare_logging_writer(self) -> None:
+        if self.log_dir is not None and self.writer is None and not self.disable_logs:
+            self.writer = make_writer(self.logger_type, self.log_dir, self.cfg)
+            if self.logger_type in ("wandb", "neptune"):
+                self.writer.log_config(self.env.cfg, self.cfg, self.alg_cfg, self.policy_cfg)
+
+    # ----------------------------------------------------------- checkpoints
+
+    def save(self, path: str, infos=None) -> None:
+        """Save the train state (reference on_policy_runner.py:289-305)."""
+        ts = self.train_state
+        state = {
+            "model": ts.policy,
+            "opt_state": ts.opt_state,
+            "lr": ts.lr,
+            "iter": int(self.current_learning_iteration),
+            "infos": infos,
+        }
+        if ts.rnd is not None:
+            state["rnd"] = ts.rnd
+            state["rnd_opt_state"] = ts.rnd_opt_state
+        save_checkpoint(path, state)
+        if self.logger_type in ["neptune", "wandb"] and not self.disable_logs and self.writer:
+            self.writer.save_model(path, self.current_learning_iteration)
+
+    def load(self, path: str, load_optimizer: bool = True, map_location=None):
+        """Restore a checkpoint; honors the resume-flag protocol
+        (reference on_policy_runner.py:307-324)."""
+        loaded = load_checkpoint(path)
+        ts = self.train_state
+        new_policy, resumed = self.alg.policy.load_state_dict(ts.policy, loaded["model"])
+        ts = ts.replace(policy=new_policy)
+        if ts.rnd is not None and "rnd" in loaded:
+            ts = ts.replace(rnd=loaded["rnd"])
+        if load_optimizer and resumed:
+            ts = ts.replace(opt_state=loaded["opt_state"], lr=jnp.asarray(loaded["lr"]))
+            if ts.rnd is not None and "rnd_opt_state" in loaded:
+                ts = ts.replace(rnd_opt_state=loaded["rnd_opt_state"])
+        if resumed:
+            self.current_learning_iteration = loaded["iter"]
+            ts = ts.replace(it=jnp.asarray(loaded["iter"], jnp.int32))
+        ts = jax.tree.map(jnp.asarray, ts)
+        if self.num_devices > 1:
+            ts = shard_tree(ts, replicated(self.mesh))
+        self.train_state = ts
+        return loaded["infos"]
+
+    # ------------------------------------------------------------- inference
+
+    def get_inference_policy(self, device=None):
+        """Return a deterministic policy callable ``obs_dict -> action``
+        (reference on_policy_runner.py:326-330). For recurrent policies the
+        returned callable keeps its hidden state internally; call its
+        ``.reset(dones)`` between episodes."""
+        policy = self.alg.policy
+        ps = self.train_state.policy
+
+        infer = jax.jit(lambda ps_, obs, carry: policy.act_inference(ps_, obs, carry))
+        carry_holder = {"carry": policy.initial_carry(self.env.num_envs)}
+
+        def policy_fn(obs):
+            action, carry_holder["carry"] = infer(ps, obs, carry_holder["carry"])
+            return action
+
+        def reset(dones=None):
+            if dones is None:
+                carry_holder["carry"] = policy.initial_carry(self.env.num_envs)
+            else:
+                carry_holder["carry"] = policy.reset_carry(carry_holder["carry"], dones)
+
+        policy_fn.reset = reset
+        return policy_fn
+
+    # ------------------------------------------------------------------ misc
+
+    def train_mode(self) -> None:
+        """API parity no-op: normalizer updates happen inside the jitted
+        collect; inference paths never mutate state."""
+
+    def eval_mode(self) -> None:
+        """API parity no-op (see ``train_mode``)."""
+
+    def add_git_repo_to_log(self, repo_file_path: str) -> None:
+        self.git_status_repos.append(repo_file_path)

@@ -1,12 +1,14 @@
-"""Test configuration: run on 8 virtual CPU devices.
+"""Test configuration: run on 2 virtual CPU devices.
 
-Multi-device data parallelism is tested without TPU hardware by forcing the
-CPU backend to expose 8 devices (SURVEY.md §4.3).
+Multi-device data parallelism is tested without TPU hardware by exposing 2
+virtual CPU devices (the machine has a single core; more device threads starve
+XLA collective rendezvous) (SURVEY.md §4.3). CPU is forced unconditionally: tests
+must be deterministic and must not contend for the (single-tenant) TPU chip.
+``jax.config.update`` is used instead of env vars because the test harness may
+import jax before this conftest runs.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)

@@ -1,0 +1,201 @@
+"""Integration tests: PPO end-to-end on tiny JAX envs (SURVEY.md §4.2-4.3)."""
+
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsl_rl_tpu.algorithms.ppo import PPO
+from rsl_rl_tpu.env import Pendulum, PointMass
+from rsl_rl_tpu.modules import ActorCritic, ActorCriticRecurrent
+from rsl_rl_tpu.runners import OnPolicyRunner
+
+
+def _runner_cfg(**overrides):
+    cfg = {
+        "num_steps_per_env": 16,
+        "save_interval": 1000,
+        "seed": 1,
+        "obs_groups": {"policy": ["policy"], "critic": ["policy", "privileged"]},
+        "logger": "tensorboard",
+        "policy": {
+            "class_name": "ActorCritic",
+            "activation": "elu",
+            "actor_obs_normalization": False,
+            "critic_obs_normalization": False,
+            "actor_hidden_dims": [32, 32],
+            "critic_hidden_dims": [32, 32],
+            "init_noise_std": 1.0,
+            "noise_std_type": "scalar",
+        },
+        "algorithm": {
+            "class_name": "PPO",
+            "learning_rate": 1e-3,
+            "num_learning_epochs": 4,
+            "num_mini_batches": 4,
+            "schedule": "adaptive",
+            "value_loss_coef": 1.0,
+            "clip_param": 0.2,
+            "use_clipped_value_loss": True,
+            "desired_kl": 0.01,
+            "entropy_coef": 0.01,
+            "gamma": 0.99,
+            "lam": 0.95,
+            "max_grad_norm": 1.0,
+            "normalize_advantage_per_mini_batch": False,
+        },
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+class TestLearning:
+    def test_pointmass_reward_improves(self):
+        """PPO must visibly improve on the trivially-solvable PointMass."""
+        env = PointMass(num_envs=32, max_episode_length=64)
+        runner = OnPolicyRunner(env, _runner_cfg(), log_dir=None)
+
+        collect, update = runner._collect, runner._update
+        ts, cs = runner.train_state, runner.collect_state
+        window = []
+        for it in range(150):
+            ts, cs, rollout, cm = collect(ts, cs)
+            ts, cs, um = update(ts, cs, rollout)
+            window.append(
+                (float(cm["ep_reward_sum"]), float(cm["ep_count"]))
+            )
+        first = sum(r for r, _ in window[:30]) / max(sum(c for _, c in window[:30]), 1)
+        last = sum(r for r, _ in window[-30:]) / max(sum(c for _, c in window[-30:]), 1)
+        assert last > first + 5.0, f"no improvement: first={first}, last={last}"
+
+    def test_recurrent_ppo_runs_and_is_finite(self):
+        env = PointMass(num_envs=16, max_episode_length=32)
+        cfg = _runner_cfg()
+        cfg["policy"] = {
+            "class_name": "ActorCriticRecurrent",
+            "actor_hidden_dims": [16],
+            "critic_hidden_dims": [16],
+            "rnn_type": "gru",
+            "rnn_hidden_dim": 16,
+        }
+        runner = OnPolicyRunner(env, cfg, log_dir=None)
+        ts, cs = runner.train_state, runner.collect_state
+        for _ in range(5):
+            ts, cs, rollout, cm = runner._collect(ts, cs)
+            ts, cs, um = runner._update(ts, cs, rollout)
+        for k, v in um.items():
+            assert np.isfinite(float(v)), f"{k} is not finite"
+
+    def test_rnd_ppo_runs(self):
+        env = PointMass(num_envs=16, max_episode_length=32)
+        cfg = _runner_cfg()
+        cfg["obs_groups"]["rnd_state"] = ["policy"]
+        cfg["algorithm"]["rnd_cfg"] = {
+            "weight": 0.5,
+            "state_normalization": True,
+            "reward_normalization": True,
+            "learning_rate": 1e-3,
+            "num_outputs": 4,
+            "predictor_hidden_dims": [-1],
+            "target_hidden_dims": [-1],
+        }
+        runner = OnPolicyRunner(env, cfg, log_dir=None)
+        ts, cs = runner.train_state, runner.collect_state
+        for _ in range(3):
+            ts, cs, rollout, cm = runner._collect(ts, cs)
+            ts, cs, um = runner._update(ts, cs, rollout)
+        assert "Loss/rnd" in um
+        assert np.isfinite(float(um["Loss/rnd"]))
+        # the RND weight was scaled by env.step_dt (resolve_rnd_config)
+        assert float(cm["Rnd/weight"]) == pytest.approx(0.5 * env.step_dt)
+
+
+class TestDataParallelConsistency:
+    def test_1dev_vs_2dev_same_losses(self):
+        """The same seed must give (numerically) identical training on 1 and 2
+        devices — data parallelism is pure sharding (SURVEY.md §4.3)."""
+        results = {}
+        for ndev in (1, 2):
+            from rsl_rl_tpu.parallel.mesh import (
+                data_sharding,
+                make_mesh,
+                replicated,
+                shard_tree,
+            )
+
+            env = Pendulum(num_envs=16)
+            _, obs = env.reset(jax.random.PRNGKey(0))
+            policy = ActorCritic(
+                obs, {"policy": ["policy"], "critic": ["policy"]}, env.num_actions,
+                actor_hidden_dims=[16], critic_hidden_dims=[16],
+            )
+            ppo = PPO(policy)
+            ts = ppo.init_train_state(jax.random.PRNGKey(1), 16)
+            cs = ppo.init_collect_state(jax.random.PRNGKey(2), env)
+            mesh = make_mesh(jax.devices()[:ndev])
+            ts = shard_tree(ts, replicated(mesh))
+            cs = shard_tree(cs, data_sharding(mesh))
+            collect = jax.jit(ppo.make_collect_fn(env, 8))
+            update = jax.jit(ppo.make_update_fn())
+            losses = []
+            for _ in range(3):
+                ts, cs, rollout, cm = collect(ts, cs)
+                ts, cs, um = update(ts, cs, rollout)
+                losses.append(float(um["Loss/surrogate"]) + float(um["Loss/value_function"]))
+            results[ndev] = losses
+        np.testing.assert_allclose(results[1], results[2], rtol=1e-4)
+
+
+class TestCheckpointing:
+    def test_save_load_resume_identical(self, tmp_path):
+        """save -> load must restore bit-identical training trajectories."""
+        env = PointMass(num_envs=8, max_episode_length=16)
+        cfg = _runner_cfg()
+        runner = OnPolicyRunner(env, cfg, log_dir=str(tmp_path))
+        runner.learn(3)
+        path = os.path.join(str(tmp_path), "snap.ckpt")
+        runner.save(path)
+        ref_params = jax.device_get(runner.train_state.policy.params)
+
+        env2 = PointMass(num_envs=8, max_episode_length=16)
+        runner2 = OnPolicyRunner(env2, _runner_cfg(), log_dir=None)
+        runner2.load(path)
+        got_params = jax.device_get(runner2.train_state.policy.params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            ref_params, got_params,
+        )
+        assert runner2.current_learning_iteration == runner.current_learning_iteration
+        # optimizer state restored as well
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            jax.device_get(runner.train_state.opt_state),
+            jax.device_get(runner2.train_state.opt_state),
+        )
+
+    def test_load_without_optimizer(self, tmp_path):
+        env = PointMass(num_envs=8, max_episode_length=16)
+        runner = OnPolicyRunner(env, _runner_cfg(), log_dir=str(tmp_path))
+        runner.learn(2)
+        path = os.path.join(str(tmp_path), "snap.ckpt")
+        runner.save(path)
+        runner2 = OnPolicyRunner(
+            PointMass(num_envs=8, max_episode_length=16), _runner_cfg(), log_dir=None
+        )
+        lr_before = float(runner2.train_state.lr)
+        runner2.load(path, load_optimizer=False)
+        assert float(runner2.train_state.lr) == lr_before
+
+
+class TestRunnerLogging:
+    def test_tensorboard_files_written(self, tmp_path):
+        env = PointMass(num_envs=8, max_episode_length=16)
+        runner = OnPolicyRunner(env, _runner_cfg(), log_dir=str(tmp_path))
+        runner.learn(2)
+        files = os.listdir(str(tmp_path))
+        assert any(f.startswith("events.out.tfevents") for f in files)
+        assert any(f.startswith("model_") for f in files)
+        assert os.path.isdir(os.path.join(str(tmp_path), "git"))
