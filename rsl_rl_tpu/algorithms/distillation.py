@@ -183,6 +183,94 @@ class Distillation:
 
         return collect
 
+    # ---------------------------------------------------------- host collect
+
+    def make_host_collect_fn(self, env, num_steps_per_env: int) -> Callable:
+        """Collection loop for host (non-JAX) environments — hybrid analog of
+        the reference's rollout (distillation_runner.py:94-111)."""
+        import numpy as np
+
+        policy = self.policy
+
+        @jax.jit
+        def act_step(ps, obs, carry, key):
+            key, k_act = jax.random.split(key)
+            mean, std, carry = policy.act(ps, obs, carry)
+            action = distributions.sample(k_act, mean, std)
+            privileged, carry = policy.evaluate(ps, obs, carry)
+            return action, privileged, jnp.mean(std), carry, key
+
+        @jax.jit
+        def process_step(ps, next_obs, done, carry):
+            ps = policy.update_normalization(ps, next_obs)
+            carry = policy.reset_carry(carry, done)
+            return ps, carry
+
+        def collect(ts: TrainState, cs: CollectState):
+            ps, key = ts.policy, ts.rng
+            obs, carry, stats = cs.obs, cs.carry, cs.stats
+            carry0 = carry
+            cur_rew = np.asarray(stats.cur_reward_sum).copy()
+            cur_len = np.asarray(stats.cur_episode_length).copy()
+            acc = {"ep_reward_sum": 0.0, "ep_length_sum": 0.0, "ep_count": 0.0}
+            log_acc: dict[str, float] = {}
+            traj = {k: [] for k in ("obs", "actions", "privileged_actions", "rewards", "dones")}
+            stds = []
+            for _ in range(num_steps_per_env):
+                action, privileged, std_mean, carry, key = act_step(ps, obs, carry, key)
+                next_obs, rew_np, done_np, extras = env.step(np.asarray(action))
+                next_obs = {k: jnp.asarray(v) for k, v in next_obs.items()}
+                done = jnp.asarray(done_np)
+                ps, carry = process_step(ps, next_obs, done, carry)
+
+                traj["obs"].append(obs)
+                traj["actions"].append(action)
+                traj["privileged_actions"].append(privileged)
+                traj["rewards"].append(jnp.asarray(rew_np, jnp.float32))
+                traj["dones"].append(done)
+                stds.append(std_mean)
+                obs = next_obs
+
+                cur_rew += rew_np
+                cur_len += 1.0
+                if done_np.any():
+                    d = done_np.astype(bool)
+                    acc["ep_reward_sum"] += float(cur_rew[d].sum())
+                    acc["ep_length_sum"] += float(cur_len[d].sum())
+                    acc["ep_count"] += float(d.sum())
+                    cur_rew[d] = 0.0
+                    cur_len[d] = 0.0
+                for extras_key in ("episode", "log"):
+                    if extras_key in extras:
+                        for k, v in extras[extras_key].items():
+                            log_acc[k] = log_acc.get(k, 0.0) + float(np.mean(v))
+
+            stack = lambda xs: jax.tree.map(lambda *ys: jnp.stack(ys), *xs)
+            rollout = Rollout(
+                obs=stack(traj["obs"]),
+                actions=jnp.stack(traj["actions"]),
+                rewards=jnp.stack(traj["rewards"]),
+                dones=jnp.stack(traj["dones"]),
+                privileged_actions=jnp.stack(traj["privileged_actions"]),
+                carry0=carry0 if policy.is_recurrent else None,
+            )
+            metrics = {k: jnp.asarray(v, jnp.float32) for k, v in acc.items()}
+            metrics["ep_ereward_sum"] = jnp.zeros((), jnp.float32)
+            metrics["ep_ireward_sum"] = jnp.zeros((), jnp.float32)
+            metrics["Policy/mean_noise_std"] = jnp.mean(jnp.stack(stds))
+            for k, v in log_acc.items():
+                metrics[f"extras/{k}"] = jnp.asarray(v / num_steps_per_env, jnp.float32)
+
+            new_stats = stats.replace(
+                cur_reward_sum=jnp.asarray(cur_rew),
+                cur_episode_length=jnp.asarray(cur_len),
+            )
+            ts = ts.replace(policy=ps, rng=key)
+            cs = CollectState(env_state=(), obs=obs, carry=carry, stats=new_stats)
+            return ts, cs, rollout, metrics
+
+        return collect
+
     # ---------------------------------------------------------------- update
 
     def make_update_fn(self) -> Callable:

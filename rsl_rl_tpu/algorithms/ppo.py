@@ -319,6 +319,131 @@ class PPO:
 
         return collect
 
+    # ---------------------------------------------------------- host collect
+
+    def make_host_collect_fn(self, env, num_steps_per_env: int) -> Callable:
+        """Collection loop for host (non-JAX) environments.
+
+        The hybrid analog of the reference's per-step host<->device copies
+        (reference on_policy_runner.py:100-139): policy forward and step
+        processing are jitted, the env steps on host, and the rollout is
+        stacked onto device for the (unchanged) jitted update.
+        """
+        import numpy as np
+
+        policy = self.policy
+        rnd = self.rnd
+        gamma = self.gamma
+
+        @jax.jit
+        def act_step(ps, obs, carry, key):
+            key, k_act = jax.random.split(key)
+            mean, std, carry = policy.act(ps, obs, carry)
+            action = distributions.sample(k_act, mean, std)
+            log_p = distributions.log_prob(mean, std, action)
+            value, carry = policy.value(ps, obs, carry)
+            return action, value, log_p, mean, std, carry, key
+
+        @jax.jit
+        def process_step(ps, rnd_state, next_obs, value, rew, time_outs, done, carry):
+            ps = policy.update_normalization(ps, next_obs)
+            irew = jnp.zeros_like(rew)
+            if rnd is not None:
+                rnd_state = rnd.update_normalization(rnd_state, next_obs)
+                rnd_state, irew, _ = rnd.get_intrinsic_reward(rnd_state, next_obs)
+            total = rew + irew + gamma * value * time_outs
+            carry = policy.reset_carry(carry, done)
+            return ps, rnd_state, total, irew, carry
+
+        def collect(ts: TrainState, cs: CollectState):
+            ps, rnd_state, key = ts.policy, ts.rnd, ts.rng
+            obs, carry, stats = cs.obs, cs.carry, cs.stats
+            carry0 = carry
+            cur_rew = np.asarray(stats.cur_reward_sum).copy()
+            cur_len = np.asarray(stats.cur_episode_length).copy()
+            cur_erew = np.asarray(stats.cur_ereward_sum).copy()
+            cur_irew = np.asarray(stats.cur_ireward_sum).copy()
+            acc = {k: 0.0 for k in ("ep_reward_sum", "ep_length_sum", "ep_ereward_sum",
+                                    "ep_ireward_sum", "ep_count")}
+            log_acc: dict[str, float] = {}
+            traj = {k: [] for k in ("obs", "actions", "rewards", "dones", "values",
+                                    "log_probs", "mu", "sigma")}
+            for _ in range(num_steps_per_env):
+                action, value, log_p, mean, std, carry, key = act_step(ps, obs, carry, key)
+                next_obs, rew_np, done_np, extras = env.step(np.asarray(action))
+                rew = jnp.asarray(rew_np, jnp.float32)
+                done = jnp.asarray(done_np)
+                time_outs = jnp.asarray(
+                    extras.get("time_outs", np.zeros_like(done_np)), jnp.float32
+                )
+                next_obs = {k: jnp.asarray(v) for k, v in next_obs.items()}
+                ps, rnd_state, total_rew, irew_dev, carry = process_step(
+                    ps, rnd_state, next_obs, value, rew, time_outs, done
+                , carry)
+
+                traj["obs"].append(obs)
+                traj["actions"].append(action)
+                traj["rewards"].append(total_rew)
+                traj["dones"].append(done)
+                traj["values"].append(value)
+                traj["log_probs"].append(log_p)
+                traj["mu"].append(mean)
+                traj["sigma"].append(std)
+                obs = next_obs
+
+                # host-side episode bookkeeping (reference :113-139)
+                irew_np = np.asarray(irew_dev)
+                cur_rew += rew_np + irew_np
+                cur_erew += rew_np
+                cur_irew += irew_np
+                cur_len += 1.0
+                if done_np.any():
+                    d = done_np.astype(bool)
+                    acc["ep_reward_sum"] += float(cur_rew[d].sum())
+                    acc["ep_length_sum"] += float(cur_len[d].sum())
+                    acc["ep_ereward_sum"] += float(cur_erew[d].sum())
+                    acc["ep_ireward_sum"] += float(cur_irew[d].sum())
+                    acc["ep_count"] += float(d.sum())
+                    cur_rew[d] = 0.0
+                    cur_len[d] = 0.0
+                    cur_erew[d] = 0.0
+                    cur_irew[d] = 0.0
+                for extras_key in ("episode", "log"):
+                    if extras_key in extras:
+                        for k, v in extras[extras_key].items():
+                            log_acc[k] = log_acc.get(k, 0.0) + float(np.mean(v))
+
+            stack = lambda xs: jax.tree.map(lambda *ys: jnp.stack(ys), *xs)
+            rollout = Rollout(
+                obs=stack(traj["obs"]),
+                actions=jnp.stack(traj["actions"]),
+                rewards=jnp.stack(traj["rewards"]),
+                dones=jnp.stack(traj["dones"]),
+                values=jnp.stack(traj["values"]),
+                log_probs=jnp.stack(traj["log_probs"]),
+                mu=jnp.stack(traj["mu"]),
+                sigma=jnp.stack(traj["sigma"]),
+                carry0=carry0 if policy.is_recurrent else None,
+            )
+            metrics = {k: jnp.asarray(v, jnp.float32) for k, v in acc.items()}
+            metrics["Policy/mean_noise_std"] = jnp.mean(rollout.sigma)
+            if rnd is not None:
+                metrics["Rnd/weight"] = rnd.current_weight(rnd_state.counter)
+            for k, v in log_acc.items():
+                metrics[f"extras/{k}"] = jnp.asarray(v / num_steps_per_env, jnp.float32)
+
+            new_stats = EpisodeStats(
+                cur_reward_sum=jnp.asarray(cur_rew),
+                cur_episode_length=jnp.asarray(cur_len),
+                cur_ereward_sum=jnp.asarray(cur_erew),
+                cur_ireward_sum=jnp.asarray(cur_irew),
+            )
+            ts = ts.replace(policy=ps, rnd=rnd_state, rng=key)
+            cs = CollectState(env_state=(), obs=obs, carry=carry, stats=new_stats)
+            return ts, cs, rollout, metrics
+
+        return collect
+
     # ---------------------------------------------------------------- update
 
     def make_update_fn(self) -> Callable:

@@ -1,7 +1,8 @@
 """Environment contract and built-in JAX-native environments."""
 
+from rsl_rl_tpu.env.host_env import GymVecEnv, HostVecEnv
 from rsl_rl_tpu.env.pendulum import Pendulum
 from rsl_rl_tpu.env.toy import PointMass
 from rsl_rl_tpu.env.vec_env import EnvState, VecEnv
 
-__all__ = ["VecEnv", "EnvState", "Pendulum", "PointMass"]
+__all__ = ["VecEnv", "EnvState", "Pendulum", "PointMass", "HostVecEnv", "GymVecEnv"]

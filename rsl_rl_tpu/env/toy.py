@@ -91,3 +91,22 @@ class PointMass(VecEnv):
             "log": {"pointmass/abs_x": jnp.abs(x)},
         }
         return state, self._obs(state, jnp.where(done, 0.0, a)), reward, done, extras
+
+
+def point_mass_symmetry(obs=None, actions=None, env=None):
+    """Symmetry augmentation for :class:`PointMass`: the dynamics and reward
+    are invariant under mirroring ``(x, v, a) -> (-x, -v, -a)``.
+
+    Follows the reference augmentation-function contract
+    (reference config/example_config.yaml:63-76): returns the original batch
+    stacked with its mirrored copy along the leading axis, for whichever of
+    ``obs``/``actions`` is provided. JAX-traceable, so it runs inside the
+    jitted PPO update.
+    """
+    obs_aug = None
+    if obs is not None:
+        obs_aug = {k: jnp.concatenate([v, -v], axis=0) for k, v in obs.items()}
+    actions_aug = None
+    if actions is not None:
+        actions_aug = jnp.concatenate([actions, -actions], axis=0)
+    return obs_aug, actions_aug

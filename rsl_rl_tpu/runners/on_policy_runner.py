@@ -56,10 +56,13 @@ class OnPolicyRunner:
         self.num_steps_per_env = self.cfg["num_steps_per_env"]
         self.save_interval = self.cfg["save_interval"]
 
+        # ---- host (non-JAX) envs use the hybrid collection loop
+        self.is_jax_env = getattr(env, "is_jax", True)
+
         # ---- mesh over all devices (data parallelism; SURVEY.md §5.8)
         devices = jax.devices() if device is None else None
         self.mesh = make_mesh(devices) if (devices is None or len(devices) >= 1) else None
-        self.num_devices = len(self.mesh.devices.flatten())
+        self.num_devices = len(self.mesh.devices.flatten()) if self.is_jax_env else 1
         if env.num_envs % self.num_devices != 0:
             raise ValueError(
                 f"num_envs ({env.num_envs}) must be divisible by the device count"
@@ -73,7 +76,11 @@ class OnPolicyRunner:
 
         # ---- probe observations + resolve obs sets
         # (reference on_policy_runner.py:40-44)
-        self._env_state0, obs = env.reset(key_env)
+        if self.is_jax_env:
+            self._env_state0, obs = env.reset(key_env)
+        else:
+            self._env_state0 = ()
+            obs = {k: jnp.asarray(v) for k, v in env.reset(seed=seed).items()}
         default_sets = ["critic"] if self.training_type == "rl" else ["teacher"]
         if self.training_type == "rl" and self.alg_cfg.get("rnd_cfg") is not None:
             default_sets.append("rnd_state")
@@ -96,9 +103,13 @@ class OnPolicyRunner:
         # NOT donated — donating it makes scalar outputs untransferable on the
         # tunneled TPU backend (INVALID_ARGUMENT on device_get), and the
         # buffers are small anyway. Train state and rollout are donated.
-        self._collect = jax.jit(
-            self.alg.make_collect_fn(env, self.num_steps_per_env), donate_argnums=(0,)
-        )
+        if self.is_jax_env:
+            self._collect = jax.jit(
+                self.alg.make_collect_fn(env, self.num_steps_per_env), donate_argnums=(0,)
+            )
+        else:
+            # host env: Python step loop with jitted act/process steps
+            self._collect = self.alg.make_host_collect_fn(env, self.num_steps_per_env)
         self._update = jax.jit(self.alg.make_update_fn(), donate_argnums=(0, 2))
 
         # ---- logging state
@@ -147,9 +158,14 @@ class OnPolicyRunner:
         self._prepare_logging_writer()
 
         if init_at_random_ep_len:
-            self._key, k = jax.random.split(self._key)
-            env_state = self.env.randomize_episode_length(self.collect_state.env_state, k)
-            self.collect_state = self.collect_state.replace(env_state=env_state)
+            if self.is_jax_env:
+                self._key, k = jax.random.split(self._key)
+                env_state = self.env.randomize_episode_length(self.collect_state.env_state, k)
+                self.collect_state = self.collect_state.replace(env_state=env_state)
+            else:
+                warnings.warn(
+                    "init_at_random_ep_len is not supported for host environments; ignoring."
+                )
 
         start_iter = self.current_learning_iteration
         tot_iter = start_iter + num_learning_iterations

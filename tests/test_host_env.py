@@ -1,0 +1,103 @@
+"""Host (non-JAX) environment path: hybrid collection with Gymnasium envs."""
+
+import gymnasium as gym
+import numpy as np
+import pytest
+
+from rsl_rl_tpu.env import GymVecEnv
+from rsl_rl_tpu.runners import OnPolicyRunner
+
+
+def _cfg(**overrides):
+    cfg = {
+        "num_steps_per_env": 16,
+        "save_interval": 1000,
+        "seed": 1,
+        "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+        "policy": {
+            "class_name": "ActorCritic",
+            "actor_hidden_dims": [32, 32],
+            "critic_hidden_dims": [32, 32],
+            "actor_obs_normalization": True,
+            "critic_obs_normalization": True,
+        },
+        "algorithm": {
+            "class_name": "PPO",
+            "learning_rate": 1e-3,
+            "num_learning_epochs": 4,
+            "num_mini_batches": 4,
+        },
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+@pytest.fixture
+def pendulum_env():
+    env = gym.make_vec("Pendulum-v1", num_envs=16, vectorization_mode="sync")
+    wrapped = GymVecEnv(env)
+    yield wrapped
+    env.close()
+
+
+class TestGymAdapter:
+    def test_contract(self, pendulum_env):
+        obs = pendulum_env.reset(seed=0)
+        assert obs["policy"].shape == (16, 3)
+        assert pendulum_env.num_actions == 1
+        actions = np.zeros((16, 1), np.float32)
+        obs, rew, dones, extras = pendulum_env.step(actions)
+        assert rew.shape == (16,)
+        assert "time_outs" in extras
+
+    def test_truncation_maps_to_time_outs(self):
+        env = gym.make_vec("Pendulum-v1", num_envs=2, vectorization_mode="sync")
+        wrapped = GymVecEnv(env)
+        wrapped.reset(seed=0)
+        # Pendulum-v1 truncates at 200 steps
+        for _ in range(200):
+            _, _, dones, extras = wrapped.step(np.zeros((2, 1), np.float32))
+        assert dones.all()
+        assert extras["time_outs"].all()
+        env.close()
+
+
+class TestHostTraining:
+    def test_ppo_runs_on_gym_pendulum(self, pendulum_env):
+        runner = OnPolicyRunner(pendulum_env, _cfg(), log_dir=None)
+        assert not runner.is_jax_env
+        ts, cs = runner.train_state, runner.collect_state
+        for _ in range(4):
+            ts, cs, rollout, cm = runner._collect(ts, cs)
+            ts, cs, um = runner._update(ts, cs, rollout)
+        for k, v in um.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+        assert rollout.actions.shape == (16, 16, 1)
+
+    def test_recurrent_ppo_on_host_env(self, pendulum_env):
+        cfg = _cfg()
+        cfg["policy"] = {
+            "class_name": "ActorCriticRecurrent",
+            "actor_hidden_dims": [16],
+            "critic_hidden_dims": [16],
+            "rnn_type": "gru",
+            "rnn_hidden_dim": 16,
+        }
+        runner = OnPolicyRunner(pendulum_env, cfg, log_dir=None)
+        ts, cs = runner.train_state, runner.collect_state
+        for _ in range(3):
+            ts, cs, rollout, cm = runner._collect(ts, cs)
+            ts, cs, um = runner._update(ts, cs, rollout)
+        assert np.isfinite(float(um["Loss/surrogate"]))
+
+    def test_episode_stats_flow(self, pendulum_env):
+        """Completed-episode stats must surface after 200 env steps."""
+        cfg = _cfg(num_steps_per_env=32)
+        runner = OnPolicyRunner(pendulum_env, cfg, log_dir=None)
+        ts, cs = runner.train_state, runner.collect_state
+        total_eps = 0.0
+        for _ in range(8):  # 8 * 32 = 256 steps > 200
+            ts, cs, rollout, cm = runner._collect(ts, cs)
+            ts, cs, um = runner._update(ts, cs, rollout)
+            total_eps += float(cm["ep_count"])
+        assert total_eps >= 16  # all 16 envs completed an episode
