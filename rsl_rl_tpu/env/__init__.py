@@ -1,8 +1,18 @@
 """Environment contract and built-in JAX-native environments."""
 
+from rsl_rl_tpu.env.cartpole import CartPoleSwingUp
 from rsl_rl_tpu.env.host_env import GymVecEnv, HostVecEnv
-from rsl_rl_tpu.env.pendulum import Pendulum
+from rsl_rl_tpu.env.pendulum import PartiallyObservablePendulum, Pendulum
 from rsl_rl_tpu.env.toy import PointMass
 from rsl_rl_tpu.env.vec_env import EnvState, VecEnv
 
-__all__ = ["VecEnv", "EnvState", "Pendulum", "PointMass", "HostVecEnv", "GymVecEnv"]
+__all__ = [
+    "VecEnv",
+    "EnvState",
+    "Pendulum",
+    "PartiallyObservablePendulum",
+    "CartPoleSwingUp",
+    "PointMass",
+    "HostVecEnv",
+    "GymVecEnv",
+]

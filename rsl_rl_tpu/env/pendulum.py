@@ -101,3 +101,17 @@ class Pendulum(VecEnv):
         )
         extras = {"time_outs": time_out, "log": {"pendulum/abs_angle": jnp.abs(angle_norm)}}
         return state, self._obs(state), -costs, done, extras
+
+
+@register("env")
+class PartiallyObservablePendulum(Pendulum):
+    """Pendulum without velocity observation: ``[cos(theta), sin(theta)]``.
+
+    The optimal policy needs to infer angular velocity from history, so this
+    env separates recurrent from feedforward policies — the benchmark analog
+    of BASELINE.md config #2 given that MJX is unavailable in this image.
+    """
+
+    def _obs(self, state: PendulumState) -> dict[str, jax.Array]:
+        obs = jnp.stack([jnp.cos(state.theta), jnp.sin(state.theta)], axis=-1)
+        return {"policy": obs}

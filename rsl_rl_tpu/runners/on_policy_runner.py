@@ -167,9 +167,17 @@ class OnPolicyRunner:
                     "init_at_random_ep_len is not supported for host environments; ignoring."
                 )
 
+        # optional jax.profiler trace window (SURVEY.md §5.1 TPU equivalent of
+        # the reference's wall-clock-only perf accounting): cfg
+        # "profiler_trace_iterations": [first, last] captures those iterations
+        # into <log_dir>/profile for xprof/tensorboard.
+        trace_window = self.cfg.get("profiler_trace_iterations")
+
         start_iter = self.current_learning_iteration
         tot_iter = start_iter + num_learning_iterations
         for it in range(start_iter, tot_iter):
+            if trace_window and it == trace_window[0] and self.log_dir:
+                jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
             start = time.time()
             ts, cs, rollout, cm = self._collect(self.train_state, self.collect_state)
             jax.block_until_ready(cm)
@@ -182,6 +190,9 @@ class OnPolicyRunner:
 
             self.train_state, self.collect_state = ts, cs
             self.current_learning_iteration = it
+
+            if trace_window and it == trace_window[1] and self.log_dir:
+                jax.profiler.stop_trace()
 
             metrics = {k: float(v) for k, v in jax.device_get({**cm, **um}).items()}
             if self.log_dir is not None and not self.disable_logs:

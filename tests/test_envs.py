@@ -1,0 +1,112 @@
+"""VecEnv contract tests for the built-in JAX environments."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsl_rl_tpu.env import CartPoleSwingUp, PartiallyObservablePendulum, Pendulum, PointMass
+
+ENVS = [
+    lambda n: Pendulum(num_envs=n, max_episode_length=50),
+    lambda n: PartiallyObservablePendulum(num_envs=n, max_episode_length=50),
+    lambda n: CartPoleSwingUp(num_envs=n, max_episode_length=50),
+    lambda n: PointMass(num_envs=n, max_episode_length=50),
+]
+
+
+@pytest.mark.parametrize("make_env", ENVS)
+class TestContract:
+    def test_reset_and_step_shapes(self, make_env):
+        env = make_env(6)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        for v in obs.values():
+            assert v.shape[0] == 6
+        actions = jnp.zeros((6, env.num_actions))
+        state, obs, rew, done, extras = env.step(state, actions)
+        assert rew.shape == (6,)
+        assert done.shape == (6,)
+        assert done.dtype == jnp.bool_
+        assert "time_outs" in extras and "log" in extras
+
+    def test_step_is_jittable(self, make_env):
+        env = make_env(4)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        state, obs, rew, done, extras = step(state, jnp.zeros((4, env.num_actions)))
+        assert np.isfinite(np.asarray(rew)).all()
+
+    def test_timeout_and_autoreset(self, make_env):
+        """After max_episode_length zero-action steps every env must have
+        terminated at least once and auto-reset (episode_length rewinds)."""
+        env = make_env(4)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        saw_done = np.zeros(4, bool)
+        for _ in range(env.max_episode_length + 1):
+            state, obs, rew, done, extras = step(state, jnp.zeros((4, env.num_actions)))
+            saw_done |= np.asarray(done)
+        assert saw_done.all()
+        assert (np.asarray(state.episode_length) <= env.max_episode_length).all()
+
+    def test_randomize_episode_length(self, make_env):
+        env = make_env(64)
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        state = env.randomize_episode_length(state, jax.random.PRNGKey(1))
+        lengths = np.asarray(state.episode_length)
+        assert lengths.min() >= 0 and lengths.max() < env.max_episode_length
+        assert len(np.unique(lengths)) > 5  # actually randomized
+
+    def test_autoreset_gives_fresh_obs(self, make_env):
+        """The obs returned on a done step must be the new episode's obs."""
+        env = make_env(3)
+        state, obs0 = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        for _ in range(env.max_episode_length):
+            state, obs, rew, done, extras = step(state, jnp.zeros((3, env.num_actions)))
+        # at the reset step the episode counter is back at 0
+        assert (np.asarray(state.episode_length) == 0).any() or not np.asarray(done).any()
+
+
+class TestPendulumPhysics:
+    def test_matches_gymnasium(self):
+        """One dynamics step must match gymnasium's Pendulum-v1 exactly."""
+        gym = pytest.importorskip("gymnasium")
+        genv = gym.make("Pendulum-v1")
+        genv.reset(seed=0)
+        theta0, theta_dot0 = 0.3, -0.5
+        genv.unwrapped.state = np.array([theta0, theta_dot0])
+        gobs, grew, _, _, _ = genv.step(np.array([1.5]))
+
+        env = Pendulum(num_envs=1)
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        state = state.replace(theta=jnp.asarray([theta0]), theta_dot=jnp.asarray([theta_dot0]))
+        state, obs, rew, done, _ = env.step(state, jnp.asarray([[1.5]]))
+        np.testing.assert_allclose(np.asarray(obs["policy"][0]), gobs, rtol=1e-5)
+        np.testing.assert_allclose(float(rew[0]), grew, rtol=1e-5)
+
+    def test_po_pendulum_hides_velocity(self):
+        env = PartiallyObservablePendulum(num_envs=2)
+        _, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs["policy"].shape == (2, 2)
+
+
+class TestCartPolePhysics:
+    def test_starts_hanging_down(self):
+        env = CartPoleSwingUp(num_envs=8)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        # cos(theta) near -1 (hanging)
+        assert np.asarray(obs["policy"][:, 2]).max() < -0.9
+
+    def test_terminal_on_track_limit(self):
+        env = CartPoleSwingUp(num_envs=1, max_episode_length=10_000)
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        done_seen = False
+        for _ in range(2000):
+            state, obs, rew, done, extras = step(state, jnp.ones((1, 1)))
+            if bool(done[0]):
+                done_seen = True
+                assert not bool(extras["time_outs"][0])  # true terminal
+                break
+        assert done_seen
