@@ -40,6 +40,17 @@ from rsl_rl_tpu.utils.resolvers import resolve_obs_groups
 from rsl_rl_tpu.utils.writers import make_writer
 
 
+def _blocking(fn):
+    """Wrap a dispatch so it waits for its outputs (see CPU note in __init__)."""
+
+    def wrapped(*args, **kwargs):
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        return out
+
+    return wrapped
+
+
 class OnPolicyRunner:
     """On-policy runner for training and evaluation of actor-critic methods."""
 
@@ -111,6 +122,18 @@ class OnPolicyRunner:
             # host env: Python step loop with jitted act/process steps
             self._collect = self.alg.make_host_collect_fn(env, self.num_steps_per_env)
         self._update = jax.jit(self.alg.make_update_fn(), donate_argnums=(0, 2))
+
+        # On the CPU backend with >1 device, unbounded async dispatch of
+        # programs containing cross-partition collectives can deadlock: the
+        # client's execution thread pool fills with executions whose partner
+        # partition was never scheduled, and every thread parks at a collective
+        # rendezvous (XLA aborts after its 40s termination timeout). Bounding
+        # the pipeline to one in-flight program per call avoids the
+        # mismatched-schedule state entirely. TPU runtimes schedule one program
+        # per core in order, so this throttle is CPU-only.
+        if self.num_devices > 1 and jax.devices()[0].platform == "cpu":
+            self._collect = _blocking(self._collect)
+            self._update = _blocking(self._update)
 
         # ---- logging state
         self.disable_logs = jax.process_index() != 0

@@ -8,6 +8,18 @@ must be deterministic and must not contend for the (single-tenant) TPU chip.
 import jax before this conftest runs.
 """
 
+import os
+
+# On this single-core host a partition thread can occasionally be scheduled
+# >40s late on a loaded box, tripping XLA's CPU collective termination timeout.
+# A modest raise absorbs scheduling jitter; true pipelining deadlocks are
+# prevented at the source (OnPolicyRunner bounds in-flight programs on CPU).
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_cpu_collective_timeout_seconds=120"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=120"
+)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
