@@ -1,0 +1,260 @@
+"""Learning-curve parity: rsl_rl_tpu vs the UPSTREAM reference on Pendulum.
+
+Runs the actual reference library (torch, CPU, imported from /root/reference
+via benchmarks/_reference_shim.py) and this framework on the *same* task —
+vectorized Pendulum swing-up with identical physics, reward, auto-reset and
+timeout semantics — with identical PPO hyperparameters (BASELINE.md config #1
+at a CPU-affordable width: 64 envs, 24-step windows, [128,128] ELU MLPs, obs
+normalization, adaptive KL), recording mean completed-episode reward per
+iteration for both.
+
+Writes benchmarks/results/parity_pendulum.json and prints a checkpoint table.
+
+Usage:
+    python benchmarks/parity_pendulum.py [--iterations 600] [--seeds 1 2 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# --------------------------------------------------------------------------
+# shared task definition (mirrors rsl_rl_tpu/env/pendulum.py exactly)
+# --------------------------------------------------------------------------
+
+MAX_SPEED = 8.0
+MAX_TORQUE = 2.0
+DT = 0.05
+G = 10.0
+M = 1.0
+LENGTH = 1.0
+MAX_EPISODE_LENGTH = 200
+
+
+def train_cfg(seed: int) -> dict:
+    """One config for both frameworks (registry resolves class names on ours;
+    the reference eval()s the same names)."""
+    return {
+        "num_steps_per_env": 24,
+        "save_interval": 10_000,
+        "seed": seed,
+        "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+        "logger": "tensorboard",
+        "policy": {
+            "class_name": "ActorCritic",
+            "activation": "elu",
+            "actor_obs_normalization": True,
+            "critic_obs_normalization": True,
+            "actor_hidden_dims": [128, 128],
+            "critic_hidden_dims": [128, 128],
+            "init_noise_std": 1.0,
+        },
+        "algorithm": {
+            "class_name": "PPO",
+            "learning_rate": 1.0e-3,
+            "num_learning_epochs": 5,
+            "num_mini_batches": 4,
+            "schedule": "adaptive",
+            "desired_kl": 0.01,
+            "gamma": 0.99,
+            "lam": 0.95,
+            "clip_param": 0.2,
+            "entropy_coef": 0.01,
+            "value_loss_coef": 1.0,
+            "max_grad_norm": 1.0,
+            "use_clipped_value_loss": True,
+        },
+    }
+
+
+# --------------------------------------------------------------------------
+# reference side (torch)
+# --------------------------------------------------------------------------
+
+
+def run_reference(seed: int, iterations: int, num_envs: int = 64) -> list[float]:
+    """Train the reference library; returns mean completed-episode reward per
+    iteration (nan when no episode finished in that iteration)."""
+    from benchmarks._reference_shim import TensorDictShim, install_reference_shims
+
+    install_reference_shims()
+    import torch
+    import rsl_rl.runners.on_policy_runner as ref_runner_mod
+    from rsl_rl.runners import OnPolicyRunner as RefRunner
+
+    # the reference snapshots git state unconditionally on the first learn()
+    # iteration (on_policy_runner.py:165-171), which requires GitPython and a
+    # log dir; neutralize it for the parity run
+    ref_runner_mod.store_code_state = lambda *a, **k: []
+
+    torch.manual_seed(seed)
+
+    class TorchPendulum:
+        """Reference-contract VecEnv with the same dynamics as our JAX env."""
+
+        def __init__(self, n: int):
+            self.num_envs = n
+            self.num_actions = 1
+            self.max_episode_length = MAX_EPISODE_LENGTH
+            self.device = "cpu"
+            self.cfg = {}
+            self.episode_length_buf = torch.zeros(n, dtype=torch.long)
+            self.theta = torch.empty(n).uniform_(-math.pi, math.pi)
+            self.theta_dot = torch.empty(n).uniform_(-1.0, 1.0)
+            # episode bookkeeping for the parity curve
+            self._cur_return = torch.zeros(n)
+            self.finished_returns: list[float] = []
+
+        def get_observations(self):
+            obs = torch.stack(
+                [torch.cos(self.theta), torch.sin(self.theta), self.theta_dot], dim=-1
+            )
+            return TensorDictShim({"policy": obs}, batch_size=[self.num_envs], device="cpu")
+
+        def step(self, actions):
+            u = torch.clamp(actions[:, 0], -MAX_TORQUE, MAX_TORQUE)
+            angle_norm = ((self.theta + math.pi) % (2 * math.pi)) - math.pi
+            costs = angle_norm**2 + 0.1 * self.theta_dot**2 + 0.001 * u**2
+            new_theta_dot = self.theta_dot + (
+                3.0 * G / (2.0 * LENGTH) * torch.sin(self.theta)
+                + 3.0 / (M * LENGTH**2) * u
+            ) * DT
+            new_theta_dot = torch.clamp(new_theta_dot, -MAX_SPEED, MAX_SPEED)
+            new_theta = self.theta + new_theta_dot * DT
+
+            self.episode_length_buf += 1
+            time_out = self.episode_length_buf >= self.max_episode_length
+            done = time_out.clone()
+            rew = -costs
+
+            self._cur_return += rew
+            if done.any():
+                self.finished_returns.extend(self._cur_return[done].tolist())
+                self._cur_return[done] = 0.0
+                n_reset = int(done.sum())
+                new_theta[done] = torch.empty(n_reset).uniform_(-math.pi, math.pi)
+                new_theta_dot[done] = torch.empty(n_reset).uniform_(-1.0, 1.0)
+                self.episode_length_buf[done] = 0
+            self.theta, self.theta_dot = new_theta, new_theta_dot
+
+            extras = {"time_outs": time_out}
+            return self.get_observations(), rew, done, extras
+
+    env = TorchPendulum(num_envs)
+    import tempfile
+
+    # a real log_dir keeps the reference's learn() bookkeeping on its normal
+    # code path (log_dir=None trips attribute errors in its first-iteration
+    # git/logger block); saving is neutralized to avoid 600 checkpoints
+    log_dir = tempfile.mkdtemp(prefix="ref_parity_")
+    runner = RefRunner(env, train_cfg(seed), log_dir=log_dir, device="cpu")
+    runner.save = lambda *a, **k: None
+
+    curve = []
+    for _ in range(iterations):
+        before = len(env.finished_returns)
+        runner.learn(1)
+        new = env.finished_returns[before:]
+        curve.append(sum(new) / len(new) if new else float("nan"))
+    return curve
+
+
+# --------------------------------------------------------------------------
+# our side (JAX)
+# --------------------------------------------------------------------------
+
+
+def run_ours(seed: int, iterations: int, num_envs: int = 64) -> list[float]:
+    import jax
+
+    from rsl_rl_tpu.env import Pendulum
+    from rsl_rl_tpu.runners import OnPolicyRunner
+
+    env = Pendulum(num_envs=num_envs, max_episode_length=MAX_EPISODE_LENGTH)
+    runner = OnPolicyRunner(env, train_cfg(seed), log_dir=None)
+    ts, cs = runner.train_state, runner.collect_state
+
+    curve = []
+    for _ in range(iterations):
+        ts, cs, rollout, cm = runner._collect(ts, cs)
+        ts, cs, um = runner._update(ts, cs, rollout)
+        m = jax.device_get(cm)
+        count = float(m["ep_count"])
+        curve.append(float(m["ep_reward_sum"]) / count if count > 0 else float("nan"))
+    return curve
+
+
+# --------------------------------------------------------------------------
+
+
+def summarize(curves: dict, checkpoints=(50, 100, 200, 350, 500)) -> list[dict]:
+    import numpy as np
+
+    rows = []
+    for it in checkpoints:
+        row = {"iteration": it}
+        for name, runs in curves.items():
+            vals = []
+            for c in runs:
+                if it <= len(c):
+                    window = [v for v in c[max(0, it - 20) : it] if not math.isnan(v)]
+                    if window:
+                        vals.append(sum(window) / len(window))
+            if vals:
+                row[name] = round(float(np.mean(vals)), 1)
+                row[name + "_std"] = round(float(np.std(vals)), 1)
+        rows.append(row)
+    return rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iterations", type=int, default=500)
+    p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
+    p.add_argument("--num-envs", type=int, default=64)
+    p.add_argument("--skip-reference", action="store_true")
+    args = p.parse_args()
+
+    curves = {"rsl_rl_tpu": [], "reference": []}
+    timings = {}
+
+    for seed in args.seeds:
+        t0 = time.time()
+        curves["rsl_rl_tpu"].append(run_ours(seed, args.iterations, args.num_envs))
+        timings.setdefault("rsl_rl_tpu_s", []).append(round(time.time() - t0, 1))
+        print(f"[ours seed={seed}] done in {timings['rsl_rl_tpu_s'][-1]}s", flush=True)
+
+    if not args.skip_reference and os.path.isdir("/root/reference"):
+        for seed in args.seeds:
+            t0 = time.time()
+            curves["reference"].append(run_reference(seed, args.iterations, args.num_envs))
+            timings.setdefault("reference_s", []).append(round(time.time() - t0, 1))
+            print(f"[reference seed={seed}] done in {timings['reference_s'][-1]}s", flush=True)
+
+    rows = summarize(curves)
+    out = {
+        "task": f"pendulum_swingup_{args.num_envs}envs",
+        "iterations": args.iterations,
+        "seeds": args.seeds,
+        "checkpoints": rows,
+        "timings": timings,
+        "curves": curves,
+    }
+    os.makedirs("benchmarks/results", exist_ok=True)
+    path = "benchmarks/results/parity_pendulum.json"
+    with open(path, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(rows, indent=2))
+    print(f"full curves -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,262 @@
+"""Numerical parity against the UPSTREAM reference implementation.
+
+These tests import the actual reference library (torch, from /root/reference,
+via the benchmarks/_reference_shim stand-ins for its absent GitPython /
+tensordict deps) and check that our pure-JAX counterparts produce the same
+numbers on identical inputs:
+
+- GAE returns/advantages vs ``RolloutStorage.compute_returns``
+  (reference rollout_storage.py:127-149)
+- running normalizer moments vs ``EmpiricalNormalization``
+  (reference normalization.py:49-66)
+- Gaussian log-prob/entropy vs ``torch.distributions.Normal`` as the reference
+  policies use it (reference actor_critic.py:113-115, 170-171)
+- ActorCritic forward outputs with weights copied across frameworks
+- one full PPO update's loss dict on identical rollout data + identical
+  initial weights (reference ppo.py:178-422)
+
+Skipped when the reference checkout or torch is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir("/root/reference/rsl_rl"):
+    pytest.skip("reference checkout unavailable", allow_module_level=True)
+
+from benchmarks._reference_shim import TensorDictShim, install_reference_shims
+
+install_reference_shims()
+
+import jax
+import jax.numpy as jnp
+
+from rsl_rl.algorithms import PPO as RefPPO
+from rsl_rl.modules import ActorCritic as RefActorCritic
+from rsl_rl.networks import EmpiricalNormalization as RefNorm
+
+from rsl_rl_tpu.algorithms.ppo import PPO, CollectState, init_episode_stats
+from rsl_rl_tpu.modules import ActorCritic
+from rsl_rl_tpu.ops import distributions
+from rsl_rl_tpu.ops.gae import compute_gae
+from rsl_rl_tpu.ops.running_norm import (
+    init_running_norm,
+    normalize,
+    update_running_norm,
+)
+from rsl_rl_tpu.storage.rollout import Rollout
+
+T, N, A, D = 24, 8, 3, 6
+
+
+def _rollout_data(seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "obs": rng.normal(size=(T, N, D)).astype(np.float32),
+        "actions": rng.normal(size=(T, N, A)).astype(np.float32),
+        "rewards": rng.normal(size=(T, N)).astype(np.float32),
+        "dones": (rng.random((T, N)) < 0.05),
+        "values": rng.normal(size=(T, N)).astype(np.float32),
+        "log_probs": rng.normal(size=(T, N)).astype(np.float32),
+        "mu": rng.normal(size=(T, N, A)).astype(np.float32),
+        "sigma": rng.uniform(0.5, 1.5, size=(T, N, A)).astype(np.float32),
+        "last_obs": rng.normal(size=(N, D)).astype(np.float32),
+    }
+
+
+def _copy_mlp_params(ours: dict, ref_seq: torch.nn.Module) -> None:
+    """Copy flax MLP params into a reference MLP (nn.Sequential subclass)."""
+    linears = [m for m in ref_seq if isinstance(m, torch.nn.Linear)]
+    for i, lin in enumerate(linears):
+        layer = ours[f"dense_{i}"]
+        with torch.no_grad():
+            lin.weight.copy_(torch.from_numpy(np.asarray(layer["kernel"]).T))
+            lin.bias.copy_(torch.from_numpy(np.asarray(layer["bias"])))
+
+
+def _ref_actor_critic(params) -> RefActorCritic:
+    """Reference ActorCritic with our initialized weights copied in."""
+    obs_td = TensorDictShim({"policy": torch.zeros(N, D)}, batch_size=[N])
+    ref = RefActorCritic(
+        obs_td,
+        {"policy": ["policy"], "critic": ["policy"]},
+        A,
+        actor_hidden_dims=[32, 32],
+        critic_hidden_dims=[32, 32],
+        init_noise_std=1.0,
+    )
+    _copy_mlp_params(params["actor"], ref.actor)
+    _copy_mlp_params(params["critic"], ref.critic)
+    with torch.no_grad():
+        ref.std.copy_(torch.from_numpy(np.asarray(params["std"])))
+    return ref
+
+
+def _our_actor_critic():
+    obs = {"policy": jnp.zeros((N, D))}
+    policy = ActorCritic(
+        obs,
+        {"policy": ["policy"], "critic": ["policy"]},
+        A,
+        actor_hidden_dims=[32, 32],
+        critic_hidden_dims=[32, 32],
+        init_noise_std=1.0,
+    )
+    ps = policy.init(jax.random.PRNGKey(3))
+    return policy, ps
+
+
+class TestGAEParity:
+    def test_returns_and_advantages_match(self):
+        data = _rollout_data()
+        ref_ppo_storage_cls = __import__(
+            "rsl_rl.storage.rollout_storage", fromlist=["RolloutStorage"]
+        ).RolloutStorage
+        obs_td = TensorDictShim({"policy": torch.zeros(N, D)}, batch_size=[N])
+        storage = ref_ppo_storage_cls("rl", N, T, obs_td, [A])
+        storage.rewards.copy_(torch.from_numpy(data["rewards"]).unsqueeze(-1))
+        storage.values.copy_(torch.from_numpy(data["values"]).unsqueeze(-1))
+        storage.dones.copy_(torch.from_numpy(data["dones"]).unsqueeze(-1))
+        last_values = torch.from_numpy(data["values"][-1]).unsqueeze(-1)
+        storage.compute_returns(last_values, 0.99, 0.95, normalize_advantage=True)
+
+        returns, advantages = compute_gae(
+            jnp.asarray(data["rewards"]),
+            jnp.asarray(data["values"]),
+            jnp.asarray(data["dones"], jnp.float32),
+            jnp.asarray(data["values"][-1]),
+            0.99,
+            0.95,
+            normalize_advantage=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(returns), storage.returns.squeeze(-1).numpy(), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(advantages), storage.advantages.squeeze(-1).numpy(), rtol=1e-4, atol=1e-4
+        )
+
+
+class TestNormalizerParity:
+    def test_moments_and_forward_match(self):
+        rng = np.random.default_rng(1)
+        ref = RefNorm((D,))
+        state = init_running_norm(D)
+        for _ in range(5):
+            batch = rng.normal(loc=2.0, scale=3.0, size=(N, D)).astype(np.float32)
+            ref.update(torch.from_numpy(batch))
+            state = update_running_norm(state, jnp.asarray(batch))
+        np.testing.assert_allclose(np.asarray(state.mean), ref.mean.numpy(), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(state.std), ref.std.numpy(), rtol=1e-5)
+        x = rng.normal(size=(N, D)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(normalize(state, jnp.asarray(x))),
+            ref(torch.from_numpy(x)).numpy(),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+
+
+class TestGaussianParity:
+    def test_log_prob_and_entropy_match_torch(self):
+        rng = np.random.default_rng(2)
+        mean = rng.normal(size=(N, A)).astype(np.float32)
+        std = rng.uniform(0.3, 2.0, size=(N, A)).astype(np.float32)
+        value = rng.normal(size=(N, A)).astype(np.float32)
+        dist = torch.distributions.Normal(torch.from_numpy(mean), torch.from_numpy(std))
+        np.testing.assert_allclose(
+            np.asarray(distributions.log_prob(jnp.asarray(mean), jnp.asarray(std), jnp.asarray(value))),
+            dist.log_prob(torch.from_numpy(value)).sum(dim=-1).numpy(),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(distributions.entropy(jnp.asarray(std))),
+            dist.entropy().sum(dim=-1).numpy(),
+            rtol=1e-5,
+        )
+
+
+class TestActorCriticParity:
+    def test_forward_outputs_match_with_copied_weights(self):
+        policy, ps = _our_actor_critic()
+        ref = _ref_actor_critic(ps.params)
+        obs_np = np.random.default_rng(4).normal(size=(N, D)).astype(np.float32)
+        obs_td = TensorDictShim({"policy": torch.from_numpy(obs_np)}, batch_size=[N])
+        obs_jax = {"policy": jnp.asarray(obs_np)}
+
+        with torch.no_grad():
+            ref_action = ref.act_inference(obs_td).numpy()
+            ref_value = ref.evaluate(obs_td).squeeze(-1).numpy()
+        our_action, _ = policy.act_inference(ps, obs_jax, ())
+        our_value, _ = policy.value(ps, obs_jax, ())
+        np.testing.assert_allclose(np.asarray(our_action), ref_action, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(our_value), ref_value, rtol=1e-4, atol=1e-5)
+
+
+class TestFullUpdateParity:
+    def test_ppo_update_loss_dict_matches(self):
+        """One full-batch PPO update on identical weights + rollout data must
+        produce the same loss dict in both frameworks."""
+        data = _rollout_data(5)
+        policy, ps = _our_actor_critic()
+
+        # ---- ours
+        ours = PPO(policy, num_learning_epochs=1, num_mini_batches=1, schedule="fixed",
+                   desired_kl=None, learning_rate=1e-10)
+        ts = ours.init_train_state(jax.random.PRNGKey(0), N)
+        ts = ts.replace(policy=ps)
+        rollout = Rollout(
+            obs={"policy": jnp.asarray(data["obs"])},
+            actions=jnp.asarray(data["actions"]),
+            rewards=jnp.asarray(data["rewards"]),
+            dones=jnp.asarray(data["dones"]),
+            values=jnp.asarray(data["values"]),
+            log_probs=jnp.asarray(data["log_probs"]),
+            mu=jnp.asarray(data["mu"]),
+            sigma=jnp.asarray(data["sigma"]),
+        )
+        cs = CollectState(
+            env_state=(),
+            obs={"policy": jnp.asarray(data["last_obs"])},
+            carry=(),
+            stats=init_episode_stats(N),
+        )
+        _, _, our_losses = jax.jit(ours.make_update_fn())(ts, cs, rollout)
+        our_losses = {k: float(v) for k, v in our_losses.items()}
+
+        # ---- reference
+        ref_policy = _ref_actor_critic(ps.params)
+        ref = RefPPO(ref_policy, num_learning_epochs=1, num_mini_batches=1,
+                     schedule="fixed", desired_kl=None, learning_rate=1e-10)
+        obs_td = TensorDictShim({"policy": torch.zeros(N, D)}, batch_size=[N])
+        ref.init_storage("rl", N, T, obs_td, [A])
+        s = ref.storage
+        s.observations["policy"].copy_(torch.from_numpy(data["obs"]))
+        s.actions.copy_(torch.from_numpy(data["actions"]))
+        s.rewards.copy_(torch.from_numpy(data["rewards"]).unsqueeze(-1))
+        s.dones.copy_(torch.from_numpy(data["dones"]).unsqueeze(-1))
+        s.values.copy_(torch.from_numpy(data["values"]).unsqueeze(-1))
+        s.actions_log_prob.copy_(torch.from_numpy(data["log_probs"]).unsqueeze(-1))
+        s.mu.copy_(torch.from_numpy(data["mu"]))
+        s.sigma.copy_(torch.from_numpy(data["sigma"]))
+        s.step = T
+        last_td = TensorDictShim(
+            {"policy": torch.from_numpy(data["last_obs"])}, batch_size=[N]
+        )
+        with torch.inference_mode():
+            ref.compute_returns(last_td)
+        ref_losses = ref.update()
+
+        for key in ("value_function", "surrogate", "entropy"):
+            assert np.isclose(
+                our_losses[f"Loss/{key}"], ref_losses[key], rtol=2e-3, atol=1e-4
+            ), f"{key}: ours={our_losses[f'Loss/{key}']} ref={ref_losses[key]}"
