@@ -1,14 +1,18 @@
 """Throughput benchmark: PPO on 4096 vectorized JAX Pendulum envs.
 
 Measures aggregate env-steps/s of full PPO training iterations (collection +
-learning), the reference's ``Perf/total_fps`` metric
-(reference: rsl_rl/runners/on_policy_runner.py:179,209,220), on whatever
-devices JAX exposes (one TPU chip under the driver).
+learning fused into one XLA program), the reference's ``Perf/total_fps``
+metric (reference: rsl_rl/runners/on_policy_runner.py:179,209,220), on
+whatever devices JAX exposes (one TPU chip under the driver).
+
+Timing methodology: every measured segment ends with a ``jax.device_get`` of a
+loss scalar. On the tunneled TPU backend ``block_until_ready`` can return
+before device work finishes, so only a value transfer is a trustworthy fence
+(a transferred value proves the whole executable ran).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the ratio against the 5M env-steps/s north-star target from
-BASELINE.json (which targets a v4-16; this runs on a single chip, so >0.125 of
-that target on one chip beats the per-chip target pro rata).
+BASELINE.json (which targets a v4-16 pod slice; this runs on a single chip).
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ import jax
 NUM_ENVS = 4096
 NUM_STEPS = 24
 WARMUP_ITERS = 3
-MEASURE_ITERS = 20
+MEASURE_ITERS = 30
 NORTH_STAR = 5_000_000.0  # env-steps/s aggregate on v4-16 (BASELINE.json:5)
 
 
@@ -52,11 +56,12 @@ def main() -> None:
         ts = shard_tree(ts, replicated(mesh))
         cs = shard_tree(cs, data_sharding(mesh))
 
+    collect = ppo.make_collect_fn(env, NUM_STEPS)
+    update = ppo.make_update_fn()
+
     # cs is not donated: donating it breaks output transfers on the tunneled
     # TPU backend (see OnPolicyRunner)
-    collect = jax.jit(ppo.make_collect_fn(env, NUM_STEPS), donate_argnums=(0,))
-    update = jax.jit(ppo.make_update_fn(), donate_argnums=(0, 2))
-
+    @jax.jit
     def iteration(ts, cs):
         ts, cs, rollout, cm = collect(ts, cs)
         ts, cs, um = update(ts, cs, rollout)
@@ -64,12 +69,12 @@ def main() -> None:
 
     for _ in range(WARMUP_ITERS):
         ts, cs, um = iteration(ts, cs)
-    jax.block_until_ready(um)
+    jax.device_get(um["Loss/kl"])  # fence: forces all warmup work to finish
 
     start = time.perf_counter()
     for _ in range(MEASURE_ITERS):
         ts, cs, um = iteration(ts, cs)
-    jax.block_until_ready(um)
+    jax.device_get(um["Loss/kl"])  # fence: iterations chain, so this waits for all
     elapsed = time.perf_counter() - start
 
     steps_per_s = NUM_ENVS * NUM_STEPS * MEASURE_ITERS / elapsed

@@ -34,10 +34,8 @@ from rsl_rl_tpu.ops import distributions
 from rsl_rl_tpu.ops.gae import compute_gae
 from rsl_rl_tpu.storage.rollout import (
     Rollout,
-    ff_minibatch_indices,
     recurrent_minibatch_starts,
     slice_envs,
-    take_flat,
 )
 from rsl_rl_tpu.utils.registry import register
 from rsl_rl_tpu.utils.resolvers import resolve_optimizer, string_to_callable
@@ -475,26 +473,69 @@ class PPO:
             rng, key_perm = jax.random.split(ts.rng)
             ts = ts.replace(rng=rng)
 
+            nb = N // self.num_mini_batches
+
             if policy.is_recurrent:
+                data = {
+                    "obs": rollout.obs,
+                    "actions": rollout.actions,
+                    "values": rollout.values,
+                    "returns": returns,
+                    "advantages": advantages,
+                    "log_probs": rollout.log_probs,
+                    "mu": rollout.mu,
+                    "sigma": rollout.sigma,
+                    "resets": rollout.replay_resets(),
+                }
                 xs = recurrent_minibatch_starts(N, self.num_mini_batches, self.num_learning_epochs)
             else:
-                xs = ff_minibatch_indices(
-                    key_perm, T * N, self.num_mini_batches, self.num_learning_epochs
-                )
+                # Shuffle the flattened batch ONCE and hand out contiguous
+                # slices: the reference draws a single permutation and reuses
+                # it across epochs (rollout_storage.py:163-165), so one
+                # up-front gather + dynamic slices is equivalent to gathering
+                # shuffled rows per minibatch — and ~20x cheaper in HBM
+                # traffic on TPU. All per-row fields are packed into ONE
+                # [T*N, F] array first so the random-row gather reads memory
+                # contiguously instead of once per field.
+                mb = (T * N) // self.num_mini_batches
+                perm = jax.random.permutation(key_perm, self.num_mini_batches * mb)
+                obs_keys = sorted(rollout.obs.keys())
+                columns = [("obs." + k, rollout.obs[k]) for k in obs_keys] + [
+                    ("actions", rollout.actions),
+                    ("values", rollout.values),
+                    ("returns", returns),
+                    ("advantages", advantages),
+                    ("log_probs", rollout.log_probs),
+                    ("mu", rollout.mu),
+                    ("sigma", rollout.sigma),
+                ]
+                widths, flats = [], []
+                for _, v in columns:
+                    flat = v.reshape(T * N, -1)
+                    widths.append(flat.shape[1])
+                    flats.append(flat)
+                packed = jnp.concatenate(flats, axis=-1)[perm]
 
-            resets = rollout.replay_resets()
-            data = {
-                "obs": rollout.obs,
-                "actions": rollout.actions,
-                "values": rollout.values,
-                "returns": returns,
-                "advantages": advantages,
-                "log_probs": rollout.log_probs,
-                "mu": rollout.mu,
-                "sigma": rollout.sigma,
-                "resets": resets,
-            }
-            nb = N // self.num_mini_batches
+                _scalar_fields = ("values", "returns", "advantages", "log_probs")
+
+                def unpack(rows):
+                    """Split a packed row block back into the batch dict;
+                    scalar fields are squeezed to [B]."""
+                    out, off = {}, 0
+                    for (name, _), w in zip(columns, widths):
+                        col = rows[:, off : off + w]
+                        out[name] = col[:, 0] if name in _scalar_fields else col
+                        off += w
+                    return {
+                        "obs": {k: out["obs." + k] for k in obs_keys},
+                        "resets": None,
+                        **{k: out[k] for k in
+                           ("actions", "values", "returns", "advantages",
+                            "log_probs", "mu", "sigma")},
+                    }
+
+                starts = jnp.arange(self.num_mini_batches, dtype=jnp.int32) * mb
+                xs = jnp.tile(starts, (self.num_learning_epochs,))
 
             def minibatch_step(carry, x):
                 params, opt_state, lr, rnd_pred, rnd_opt = carry
@@ -506,7 +547,7 @@ class PPO:
                         rollout.carry0,
                     )
                 else:
-                    batch = take_flat(data, x)
+                    batch = unpack(jax.lax.dynamic_slice_in_dim(packed, x, mb, axis=0))
                     batch_carry0 = None
 
                 (loss_val, aux), grads = jax.value_and_grad(

@@ -108,4 +108,8 @@ class MLP(nn.Module):
             x = x.reshape(*x.shape[:-1], *out_shape)
         if self.last_activation is not None:
             x = resolve_nn_activation(self.last_activation)(x)
+        # network outputs feed fp32 algorithm math (GAE, losses, sampling);
+        # reduced precision stays confined to the matmuls
+        if self.dtype is not None and x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)
         return x

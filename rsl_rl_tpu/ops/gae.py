@@ -54,18 +54,25 @@ def compute_gae(
     dones = dones.astype(values.dtype)
     next_values = jnp.concatenate([values[1:], last_values[None]], axis=0)
 
-    def body(adv, step):
-        r, v, nv, d = step
-        not_terminal = 1.0 - d
-        delta = r + not_terminal * gamma * nv - v
-        adv = delta + not_terminal * gamma * lam * adv
-        return adv, adv
+    # A_t = delta_t + c_t * A_{t+1} is a first-order linear recurrence; solve
+    # it with a parallel prefix (log2(T) stages on [T, N] blocks) instead of T
+    # sequential scan steps — the classic TPU-friendly formulation.
+    not_terminal = 1.0 - dones
+    delta = rewards + not_terminal * gamma * next_values - values
+    coeff = not_terminal * (gamma * lam)
 
-    _, advantages = jax.lax.scan(
-        body,
-        jnp.zeros_like(last_values),
-        (rewards, values, next_values, dones),
-        reverse=True,
+    def combine(later, earlier):
+        # compose affine suffix operators x -> c*x + d with the earlier step
+        # outermost: (c_e, d_e) o (c_l, d_l) = (c_e*c_l, d_e + c_e*d_l).
+        # Under reverse=True, associative_scan feeds the later-index
+        # accumulation as the FIRST positional argument (verified numerically
+        # in tests/test_ops.py against the reference loop).
+        c_l, d_l = later
+        c_e, d_e = earlier
+        return c_e * c_l, d_e + c_e * d_l
+
+    _, advantages = jax.lax.associative_scan(
+        combine, (coeff, delta), reverse=True, axis=0
     )
     returns = advantages + values
     if normalize_advantage:

@@ -123,6 +123,22 @@ class OnPolicyRunner:
             self._collect = self.alg.make_host_collect_fn(env, self.num_steps_per_env)
         self._update = jax.jit(self.alg.make_update_fn(), donate_argnums=(0, 2))
 
+        # optional fused mode: collect + update compiled into ONE XLA program
+        # (cfg "fuse_iteration"). Saves a dispatch round-trip per iteration and
+        # lets XLA schedule across the phase boundary; the console/writer then
+        # report a single combined iteration time (no collection/learn split).
+        self.fuse_iteration = bool(self.cfg.get("fuse_iteration", False)) and self.is_jax_env
+        if self.fuse_iteration:
+            collect_fn = self.alg.make_collect_fn(env, self.num_steps_per_env)
+            update_fn = self.alg.make_update_fn()
+
+            def _iteration(ts, cs):
+                ts, cs, rollout, cm = collect_fn(ts, cs)
+                ts, cs, um = update_fn(ts, cs, rollout)
+                return ts, cs, {**cm, **um}
+
+            self._train_iteration = jax.jit(_iteration, donate_argnums=(0,))
+
         # On the CPU backend with >1 device, unbounded async dispatch of
         # programs containing cross-partition collectives can deadlock: the
         # client's execution thread pool fills with executions whose partner
@@ -201,15 +217,26 @@ class OnPolicyRunner:
         for it in range(start_iter, tot_iter):
             if trace_window and it == trace_window[0] and self.log_dir:
                 jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
-            start = time.time()
-            ts, cs, rollout, cm = self._collect(self.train_state, self.collect_state)
-            jax.block_until_ready(cm)
-            collection_time = time.time() - start
+            # Timing syncs on the metric fetch, not block_until_ready: on
+            # tunneled/async backends block_until_ready can return before the
+            # device work completes, while a value transfer cannot.
+            if self.fuse_iteration:
+                start = time.time()
+                ts, cs, m = self._train_iteration(self.train_state, self.collect_state)
+                m = jax.device_get(m)
+                collection_time = time.time() - start
+                learn_time = 0.0
+            else:
+                start = time.time()
+                ts, cs, rollout, cm = self._collect(self.train_state, self.collect_state)
+                cm = jax.device_get(cm)
+                collection_time = time.time() - start
 
-            start = time.time()
-            ts, cs, um = self._update(ts, cs, rollout)
-            jax.block_until_ready(um)
-            learn_time = time.time() - start
+                start = time.time()
+                ts, cs, um = self._update(ts, cs, rollout)
+                um = jax.device_get(um)
+                learn_time = time.time() - start
+                m = {**cm, **um}
 
             self.train_state, self.collect_state = ts, cs
             self.current_learning_iteration = it
@@ -217,7 +244,7 @@ class OnPolicyRunner:
             if trace_window and it == trace_window[1] and self.log_dir:
                 jax.profiler.stop_trace()
 
-            metrics = {k: float(v) for k, v in jax.device_get({**cm, **um}).items()}
+            metrics = {k: float(v) for k, v in m.items()}
             if self.log_dir is not None and not self.disable_logs:
                 self._log(it, start_iter, tot_iter, metrics, collection_time, learn_time)
                 if it % self.save_interval == 0:
