@@ -5,13 +5,20 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rsl_rl_tpu.env import CartPoleSwingUp, PartiallyObservablePendulum, Pendulum, PointMass
+from rsl_rl_tpu.env import (
+    CartPoleSwingUp,
+    PartiallyObservablePendulum,
+    Pendulum,
+    PointMass,
+    SparseGoalReach,
+)
 
 ENVS = [
     lambda n: Pendulum(num_envs=n, max_episode_length=50),
     lambda n: PartiallyObservablePendulum(num_envs=n, max_episode_length=50),
     lambda n: CartPoleSwingUp(num_envs=n, max_episode_length=50),
     lambda n: PointMass(num_envs=n, max_episode_length=50),
+    lambda n: SparseGoalReach(num_envs=n, max_episode_length=50),
 ]
 
 
