@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from rsl_rl_tpu.modules.actor_critic import ActorCritic
 from rsl_rl_tpu.modules.policy import PolicyState
-from rsl_rl_tpu.networks.memory import Memory, mask_carry, memory_sequence
+from rsl_rl_tpu.networks.memory import Memory, mask_carry
 from rsl_rl_tpu.ops.running_norm import init_running_norm
 from rsl_rl_tpu.utils.registry import register
 
@@ -132,12 +132,12 @@ class ActorCriticRecurrent(ActorCritic):
         ``resets[t] = done[t-1]`` reproduces the rollout-time resets.
         """
         x = self._actor_in(ps, obs)
-        features = memory_sequence(self._mem_step(ps, "memory_a"), carry0["actor"], x, resets)
+        features = self.memory_a.sequence(ps.params["memory_a"], carry0["actor"], x, resets)
         return self._dist_from_features(ps.params, features)
 
     def value_seq(self, ps, obs, carry0, resets):
         x = self._critic_in(ps, obs)
-        features = memory_sequence(self._mem_step(ps, "memory_c"), carry0["critic"], x, resets)
+        features = self.memory_c.sequence(ps.params["memory_c"], carry0["critic"], x, resets)
         v = self.critic.apply({"params": ps.params["critic"]}, features)
         return jnp.squeeze(v, -1)
 

@@ -86,6 +86,28 @@ class Memory(nn.Module):
             for _ in range(self.num_layers)
         )
 
+    def sequence(self, params: Any, carry0: Any, xs: jax.Array, resets: jax.Array) -> jax.Array:
+        """BPTT replay of a whole window with done-masked resets.
+
+        Dispatches to the fused Pallas GRU kernel on TPU when the shape gate
+        admits it (single-layer GRU, 128-aligned hidden/batch); otherwise runs
+        the generic time-major scan (``memory_sequence``). Both paths are
+        numerically identical (tests/test_pallas_rnn.py).
+        """
+        from rsl_rl_tpu.ops.pallas_rnn import (
+            gru_sequence,
+            lstm_sequence,
+            supports_pallas_rnn,
+        )
+
+        B = xs.shape[1]
+        if self.num_layers == 1 and supports_pallas_rnn(B, self.hidden_size):
+            if self.rnn_type.lower() == "gru":
+                return gru_sequence(params["cell_0"], carry0[0], xs, resets)
+            return lstm_sequence(params["cell_0"], carry0[0], xs, resets)
+        apply_step = lambda c, x: self.apply({"params": params}, c, x)
+        return memory_sequence(apply_step, carry0, xs, resets)
+
 
 def mask_carry(carry: Any, reset_mask: jax.Array) -> Any:
     """Zero the carry rows where ``reset_mask`` is set.

@@ -1,0 +1,86 @@
+"""Numerical parity of the fused Pallas GRU kernels vs the flax scan path.
+
+Runs the kernels in pallas interpret mode (CPU) and checks values AND
+gradients against scanning ``flax.linen.GRUCell`` with done-masked resets —
+the exact computation `memory_sequence` performs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+from jax.experimental.pallas import tpu as pltpu
+
+from rsl_rl_tpu.networks.memory import Memory, memory_sequence
+from rsl_rl_tpu.ops import pallas_rnn
+
+T, B, D, H = 6, 128, 12, 128
+
+
+@pytest.fixture(scope="module", params=["gru", "lstm"])
+def setup(request):
+    rnn_type = request.param
+    mem = Memory(hidden_size=H, rnn_type=rnn_type, num_layers=1)
+    carry0_zero = mem.initialize_carry(B)
+    params = mem.init(jax.random.PRNGKey(0), carry0_zero, jnp.zeros((B, D)))["params"]
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(rng.normal(size=(T, B, D)), jnp.float32)
+    resets = jnp.asarray(rng.random((T, B)) < 0.15)
+    resets = resets.at[0].set(False)
+    if rnn_type == "gru":
+        carry0 = (jnp.asarray(rng.normal(size=(B, H)), jnp.float32),)
+    else:
+        carry0 = (
+            (
+                jnp.asarray(rng.normal(size=(B, H)), jnp.float32),
+                jnp.asarray(rng.normal(size=(B, H)), jnp.float32),
+            ),
+        )
+    return mem, params, carry0, xs, resets
+
+
+def _scan_path(mem, params, carry0, xs, resets):
+    apply_step = lambda c, x: mem.apply({"params": params}, c, x)
+    return memory_sequence(apply_step, carry0, xs, resets)
+
+
+def _pallas_path(mem, params, carry0, xs, resets):
+    if mem.rnn_type == "gru":
+        return pallas_rnn.gru_sequence(params["cell_0"], carry0[0], xs, resets)
+    return pallas_rnn.lstm_sequence(params["cell_0"], carry0[0], xs, resets)
+
+
+class TestForward:
+    def test_matches_scan(self, setup):
+        mem, params, carry0, xs, resets = setup
+        want = _scan_path(mem, params, carry0, xs, resets)
+        with pltpu.force_tpu_interpret_mode():
+            got = _pallas_path(mem, params, carry0, xs, resets)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+class TestBackward:
+    def test_grads_match_scan(self, setup):
+        mem, params, carry0, xs, resets = setup
+
+        def loss_scan(params, carry0, xs):
+            out = _scan_path(mem, params, carry0, xs, resets)
+            return jnp.sum(out * jnp.cos(out))  # nontrivial output grad
+
+        def loss_pallas(params, carry0, xs):
+            out = _pallas_path(mem, params, carry0, xs, resets)
+            return jnp.sum(out * jnp.cos(out))
+
+        want = jax.grad(loss_scan, argnums=(0, 1, 2))(params, carry0, xs)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_pallas, argnums=(0, 1, 2))(params, carry0, xs)
+
+        jax.tree_util.tree_map_with_path(
+            lambda p, w, g: np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(p)}",
+            ),
+            want,
+            got,
+        )
