@@ -7,6 +7,10 @@ from rsl_rl_tpu.utils.resolvers import (
     resolve_optimizer,
     string_to_callable,
 )
+from rsl_rl_tpu.utils.trajectories import (
+    split_and_pad_trajectories,
+    unpad_trajectories,
+)
 
 __all__ = [
     "register",
@@ -16,4 +20,6 @@ __all__ = [
     "resolve_obs_groups",
     "resolve_optimizer",
     "string_to_callable",
+    "split_and_pad_trajectories",
+    "unpad_trajectories",
 ]
