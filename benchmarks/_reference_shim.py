@@ -37,6 +37,11 @@ class TensorDictShim(dict):
         self.batch_size = list(batch_size) if batch_size is not None else []
         self.device = device
 
+    @property
+    def shape(self):
+        # TensorDict exposes its batch dims as .shape (rollout_storage.py:114)
+        return tuple(self.batch_size)
+
     # -- container views ----------------------------------------------------
     def __getitem__(self, key):
         if isinstance(key, str):

@@ -260,3 +260,132 @@ class TestFullUpdateParity:
             assert np.isclose(
                 our_losses[f"Loss/{key}"], ref_losses[key], rtol=2e-3, atol=1e-4
             ), f"{key}: ours={our_losses[f'Loss/{key}']} ref={ref_losses[key]}"
+
+
+class TestRecurrentUpdateParity:
+    """SURVEY.md 'hard part #1': our masked-scan BPTT replay vs the
+    reference's padded-trajectory replay from stored hidden states must yield
+    the same update losses. The rollout is generated BY the reference's own
+    act/process_env_step cycle; its stored transitions are mirrored into our
+    Rollout, weights are copied across frameworks, and one full-batch update
+    is compared."""
+
+    def test_recurrent_ppo_update_loss_dict_matches(self):
+        from rsl_rl.modules import ActorCriticRecurrent as RefACR
+
+        from rsl_rl_tpu.modules import ActorCriticRecurrent
+
+        H = 16
+        rng = np.random.default_rng(7)
+        obs_seq = rng.normal(size=(T + 1, N, D)).astype(np.float32)
+        rewards = rng.normal(size=(T, N)).astype(np.float32)
+        dones_np = (rng.random((T, N)) < 0.15)
+
+        # ---- our policy provides the initial weights
+        ours_policy = ActorCriticRecurrent(
+            {"policy": jnp.zeros((N, D))},
+            {"policy": ["policy"], "critic": ["policy"]},
+            A,
+            rnn_type="gru",
+            rnn_hidden_dim=H,
+            actor_hidden_dims=[32],
+            critic_hidden_dims=[32],
+            init_noise_std=1.0,
+        )
+        ps = ours_policy.init(jax.random.PRNGKey(11))
+
+        # ---- reference policy with copied weights
+        obs_td0 = TensorDictShim({"policy": torch.zeros(N, D)}, batch_size=[N])
+        ref_policy = RefACR(
+            obs_td0,
+            {"policy": ["policy"], "critic": ["policy"]},
+            A,
+            rnn_type="gru",
+            rnn_hidden_dim=H,
+            actor_hidden_dims=[32],
+            critic_hidden_dims=[32],
+            init_noise_std=1.0,
+        )
+        _copy_mlp_params(ps.params["actor"], ref_policy.actor)
+        _copy_mlp_params(ps.params["critic"], ref_policy.critic)
+        with torch.no_grad():
+            ref_policy.std.copy_(torch.from_numpy(np.asarray(ps.params["std"])))
+            for mem_name, ref_mem in (("memory_a", ref_policy.memory_a),
+                                      ("memory_c", ref_policy.memory_c)):
+                cell = ps.params[mem_name]["cell_0"]
+                w_ih = np.concatenate(
+                    [np.asarray(cell[k]["kernel"]).T for k in ("ir", "iz", "in")], axis=0
+                )
+                b_ih = np.concatenate(
+                    [np.asarray(cell[k]["bias"]) for k in ("ir", "iz", "in")]
+                )
+                w_hh = np.concatenate(
+                    [np.asarray(cell[k]["kernel"]).T for k in ("hr", "hz", "hn")], axis=0
+                )
+                b_hh = np.concatenate(
+                    [np.zeros(H, np.float32), np.zeros(H, np.float32),
+                     np.asarray(cell["hn"]["bias"])]
+                )
+                ref_mem.rnn.weight_ih_l0.copy_(torch.from_numpy(w_ih))
+                ref_mem.rnn.bias_ih_l0.copy_(torch.from_numpy(b_ih))
+                ref_mem.rnn.weight_hh_l0.copy_(torch.from_numpy(w_hh))
+                ref_mem.rnn.bias_hh_l0.copy_(torch.from_numpy(b_hh))
+
+        # ---- reference rollout through its own act/process_env_step cycle
+        ref = RefPPO(ref_policy, num_learning_epochs=1, num_mini_batches=1,
+                     schedule="fixed", desired_kl=None, learning_rate=1e-10)
+        ref.init_storage("rl", N, T, obs_td0, [A])
+        obs = TensorDictShim({"policy": torch.from_numpy(obs_seq[0])}, batch_size=[N])
+        for t in range(T):
+            with torch.no_grad():
+                ref.act(obs)
+            next_obs = TensorDictShim(
+                {"policy": torch.from_numpy(obs_seq[t + 1])}, batch_size=[N]
+            )
+            ref.process_env_step(
+                next_obs,
+                torch.from_numpy(rewards[t]),
+                torch.from_numpy(dones_np[t].astype(np.uint8)),
+                {},
+            )
+            obs = next_obs
+        post_hidden = ref_policy.get_hidden_states()  # after T steps + resets
+        with torch.no_grad():
+            ref.compute_returns(obs)
+        ref_losses = ref.update()
+
+        # ---- mirror the stored rollout into our structures
+        s = ref.storage
+        carry0 = {
+            "actor": (jnp.zeros((N, H), jnp.float32),),
+            "critic": (jnp.zeros((N, H), jnp.float32),),
+        }
+        rollout = Rollout(
+            obs={"policy": jnp.asarray(obs_seq[:T])},
+            actions=jnp.asarray(s.actions.numpy()),
+            rewards=jnp.asarray(s.rewards.squeeze(-1).numpy()),
+            dones=jnp.asarray(dones_np),
+            values=jnp.asarray(s.values.squeeze(-1).numpy()),
+            log_probs=jnp.asarray(s.actions_log_prob.squeeze(-1).numpy()),
+            mu=jnp.asarray(s.mu.numpy()),
+            sigma=jnp.asarray(s.sigma.numpy()),
+            carry0=carry0,
+        )
+        cs = CollectState(
+            env_state=(),
+            obs={"policy": jnp.asarray(obs_seq[T])},
+            carry={
+                "actor": (jnp.asarray(post_hidden[0][0].detach().numpy()),),
+                "critic": (jnp.asarray(post_hidden[1][0].detach().numpy()),),
+            },
+            stats=init_episode_stats(N),
+        )
+        ours = PPO(ours_policy, num_learning_epochs=1, num_mini_batches=1,
+                   schedule="fixed", desired_kl=None, learning_rate=1e-10)
+        ts = ours.init_train_state(jax.random.PRNGKey(0), N).replace(policy=ps)
+        _, _, our_losses = jax.jit(ours.make_update_fn())(ts, cs, rollout)
+
+        for key in ("value_function", "surrogate", "entropy"):
+            assert np.isclose(
+                float(our_losses[f"Loss/{key}"]), ref_losses[key], rtol=2e-3, atol=1e-4
+            ), f"{key}: ours={float(our_losses[f'Loss/{key}'])} ref={ref_losses[key]}"
