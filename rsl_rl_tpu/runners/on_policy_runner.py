@@ -33,7 +33,12 @@ from rsl_rl_tpu.parallel.mesh import (
     replicated,
     shard_tree,
 )
-from rsl_rl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from rsl_rl_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+    wait_for_saves,
+)
 from rsl_rl_tpu.utils.git_state import store_code_state
 from rsl_rl_tpu.utils.registry import resolve
 from rsl_rl_tpu.utils.resolvers import resolve_obs_groups
@@ -248,7 +253,8 @@ class OnPolicyRunner:
             if self.log_dir is not None and not self.disable_logs:
                 self._log(it, start_iter, tot_iter, metrics, collection_time, learn_time)
                 if it % self.save_interval == 0:
-                    self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
+                    # periodic saves overlap serialization with training
+                    self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"), block=False)
             if it == start_iter and self.log_dir is not None and not self.disable_logs:
                 git_file_paths = store_code_state(self.log_dir, self.git_status_repos)
                 if self.logger_type in ["wandb", "neptune"] and git_file_paths:
@@ -257,6 +263,7 @@ class OnPolicyRunner:
 
         if self.log_dir is not None and not self.disable_logs:
             self.save(os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt"))
+            wait_for_saves()
 
     # --------------------------------------------------------------- logging
 
@@ -355,8 +362,11 @@ class OnPolicyRunner:
 
     # ----------------------------------------------------------- checkpoints
 
-    def save(self, path: str, infos=None) -> None:
-        """Save the train state (reference on_policy_runner.py:289-305)."""
+    def save(self, path: str, infos=None, block: bool = True) -> None:
+        """Save the train state (reference on_policy_runner.py:289-305).
+
+        ``block=False`` snapshots the state now but writes in the background.
+        """
         ts = self.train_state
         state = {
             "model": ts.policy,
@@ -368,7 +378,7 @@ class OnPolicyRunner:
         if ts.rnd is not None:
             state["rnd"] = ts.rnd
             state["rnd_opt_state"] = ts.rnd_opt_state
-        save_checkpoint(path, state)
+        save_checkpoint(path, state, block=block)
         if self.logger_type in ["neptune", "wandb"] and not self.disable_logs and self.writer:
             self.writer.save_model(path, self.current_learning_iteration)
 
@@ -393,6 +403,16 @@ class OnPolicyRunner:
             ts = shard_tree(ts, replicated(self.mesh))
         self.train_state = ts
         return loaded["infos"]
+
+    def load_latest(self, log_dir: str | None = None) -> bool:
+        """Resume from the newest ``model_<it>.ckpt`` in ``log_dir`` (defaults
+        to this runner's log dir). Returns False when no checkpoint exists —
+        the auto-resume hook for preempted pod jobs (SURVEY.md §5.3)."""
+        path = latest_checkpoint(log_dir or self.log_dir or "")
+        if path is None:
+            return False
+        self.load(path)
+        return True
 
     # ------------------------------------------------------------- inference
 

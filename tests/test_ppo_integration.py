@@ -199,3 +199,42 @@ class TestRunnerLogging:
         assert any(f.startswith("events.out.tfevents") for f in files)
         assert any(f.startswith("model_") for f in files)
         assert os.path.isdir(os.path.join(str(tmp_path), "git"))
+
+
+class TestAutoResume:
+    def test_load_latest_resumes_newest(self, tmp_path):
+        from rsl_rl_tpu.env import PointMass
+        from rsl_rl_tpu.runners import OnPolicyRunner
+        from rsl_rl_tpu.utils.checkpoint import latest_checkpoint
+
+        cfg = {
+            "num_steps_per_env": 8, "save_interval": 1, "seed": 5,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "logger": "tensorboard",
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                       "critic_hidden_dims": [16]},
+            "algorithm": {"class_name": "PPO"},
+        }
+        runner = OnPolicyRunner(PointMass(num_envs=4), cfg, log_dir=str(tmp_path))
+        runner.learn(3)
+        path = latest_checkpoint(str(tmp_path))
+        assert path is not None and path.endswith("model_2.ckpt")
+
+        fresh = OnPolicyRunner(PointMass(num_envs=4), cfg, log_dir=str(tmp_path))
+        assert fresh.load_latest()
+        assert fresh.current_learning_iteration == 2
+
+    def test_load_latest_returns_false_when_empty(self, tmp_path):
+        from rsl_rl_tpu.env import PointMass
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        cfg = {
+            "num_steps_per_env": 8, "save_interval": 100, "seed": 5,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "logger": "tensorboard",
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                       "critic_hidden_dims": [16]},
+            "algorithm": {"class_name": "PPO"},
+        }
+        runner = OnPolicyRunner(PointMass(num_envs=4), cfg, log_dir=str(tmp_path))
+        assert not runner.load_latest()
