@@ -28,6 +28,10 @@ def main() -> None:
     parser.add_argument("--iterations", type=int, default=200)
     parser.add_argument("--log-dir", type=str, default="logs/pendulum")
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from the newest checkpoint in --log-dir, if any",
+    )
     args = parser.parse_args()
 
     train_cfg = {
@@ -61,6 +65,8 @@ def main() -> None:
 
     env = Pendulum(num_envs=args.num_envs)
     runner = OnPolicyRunner(env, train_cfg, log_dir=args.log_dir)
+    if args.resume and runner.load_latest():
+        print(f"resumed from iteration {runner.current_learning_iteration}")
     runner.learn(args.iterations)
 
 

@@ -1,5 +1,6 @@
 """Environment contract and built-in JAX-native environments."""
 
+from rsl_rl_tpu.env.brax_env import BraxVecEnv
 from rsl_rl_tpu.env.cartpole import CartPoleSwingUp
 from rsl_rl_tpu.env.host_env import GymVecEnv, HostVecEnv
 from rsl_rl_tpu.env.mjx_env import MJXEnv
@@ -19,4 +20,5 @@ __all__ = [
     "GymVecEnv",
     "MJXEnv",
     "SparseGoalReach",
+    "BraxVecEnv",
 ]

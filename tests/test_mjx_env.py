@@ -64,3 +64,14 @@ class TestMJXPhysics:
             state, obs, rew, done, extras = step(state, jax.numpy.ones((4, 1)))
         assert bool(done.all())
         assert int(state.episode_length.sum()) == 0
+
+
+class TestBraxGate:
+    def test_constructor_raises_without_brax(self):
+        from rsl_rl_tpu.env.brax_env import _HAS_BRAX, BraxVecEnv
+
+        if _HAS_BRAX:
+            import pytest as _pytest
+            _pytest.skip("brax installed; gate not reachable")
+        with pytest.raises(ImportError, match="brax"):
+            BraxVecEnv(None, num_envs=4, episode_length=10)

@@ -238,3 +238,22 @@ class TestAutoResume:
         }
         runner = OnPolicyRunner(PointMass(num_envs=4), cfg, log_dir=str(tmp_path))
         assert not runner.load_latest()
+
+
+class TestFusedIteration:
+    def test_fused_mode_trains_and_logs(self, tmp_path):
+        from rsl_rl_tpu.env import PointMass
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        cfg = {
+            "num_steps_per_env": 8, "save_interval": 100, "seed": 6,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "logger": "tensorboard", "fuse_iteration": True,
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                       "critic_hidden_dims": [16]},
+            "algorithm": {"class_name": "PPO"},
+        }
+        runner = OnPolicyRunner(PointMass(num_envs=4), cfg, log_dir=str(tmp_path))
+        runner.learn(3)
+        assert runner.current_learning_iteration == 2
+        assert any(f.startswith("events.out") for f in os.listdir(str(tmp_path)))
