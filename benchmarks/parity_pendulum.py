@@ -221,6 +221,7 @@ def main():
     p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
     p.add_argument("--num-envs", type=int, default=64)
     p.add_argument("--skip-reference", action="store_true")
+    p.add_argument("--out", type=str, default="benchmarks/results/parity_pendulum.json")
     args = p.parse_args()
 
     curves = {"rsl_rl_tpu": [], "reference": []}
@@ -249,7 +250,7 @@ def main():
         "curves": curves,
     }
     os.makedirs("benchmarks/results", exist_ok=True)
-    path = "benchmarks/results/parity_pendulum.json"
+    path = args.out
     with open(path, "w") as f:
         json.dump(out, f)
     print(json.dumps(rows, indent=2))

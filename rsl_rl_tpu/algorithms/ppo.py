@@ -449,7 +449,6 @@ class PPO:
         (replaces reference ppo.py:171-422)."""
         policy = self.policy
         rnd = self.rnd
-        symmetry = self.symmetry
 
         def update(ts: TrainState, cs: CollectState, rollout: Rollout):
             T, N = rollout.num_steps, rollout.num_envs

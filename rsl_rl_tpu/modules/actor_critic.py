@@ -21,7 +21,6 @@ from rsl_rl_tpu.modules.policy import (
     concat_obs,
     obs_set_dim,
 )
-from rsl_rl_tpu.ops import distributions
 from rsl_rl_tpu.ops.running_norm import (
     init_running_norm,
     normalize,

@@ -13,7 +13,6 @@ state by construction.
 from __future__ import annotations
 
 import os
-import statistics
 import time
 import warnings
 from collections import deque
@@ -155,6 +154,8 @@ class OnPolicyRunner:
         if self.num_devices > 1 and jax.devices()[0].platform == "cpu":
             self._collect = _blocking(self._collect)
             self._update = _blocking(self._update)
+            if self.fuse_iteration:
+                self._train_iteration = _blocking(self._train_iteration)
 
         # ---- logging state
         self.disable_logs = jax.process_index() != 0
