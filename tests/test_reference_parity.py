@@ -389,3 +389,78 @@ class TestRecurrentUpdateParity:
             assert np.isclose(
                 float(our_losses[f"Loss/{key}"]), ref_losses[key], rtol=2e-3, atol=1e-4
             ), f"{key}: ours={float(our_losses[f'Loss/{key}'])} ref={ref_losses[key]}"
+
+
+class TestAdaptiveChainParity:
+    """Full 5-epoch x 4-minibatch adaptive-KL update chain: with the reference
+    forced to use OUR permutation, the post-update parameters and the final
+    adapted learning rate must match across frameworks — proving the
+    minibatch loop, adaptive-LR rule, gradient clipping and Adam path are all
+    equivalent, not just the loss values."""
+
+    def test_post_update_params_and_lr_match(self):
+        data = _rollout_data(5)
+        policy, ps = _our_actor_critic()
+        lr0 = 1e-3
+
+        ours = PPO(policy, num_learning_epochs=5, num_mini_batches=4,
+                   schedule="adaptive", desired_kl=0.01, learning_rate=lr0,
+                   max_grad_norm=1.0)
+        ts = ours.init_train_state(jax.random.PRNGKey(0), N).replace(policy=ps)
+        rollout = Rollout(
+            obs={"policy": jnp.asarray(data["obs"])},
+            actions=jnp.asarray(data["actions"]),
+            rewards=jnp.asarray(data["rewards"]),
+            dones=jnp.asarray(data["dones"]),
+            values=jnp.asarray(data["values"]),
+            log_probs=jnp.asarray(data["log_probs"]),
+            mu=jnp.asarray(data["mu"]),
+            sigma=jnp.asarray(data["sigma"]),
+        )
+        cs = CollectState(
+            env_state=(), obs={"policy": jnp.asarray(data["last_obs"])},
+            carry=(), stats=init_episode_stats(N),
+        )
+        ts2, _, um = jax.jit(ours.make_update_fn())(ts, cs, rollout)
+
+        # the permutation our update drew (same rng split as make_update_fn)
+        _, key_perm = jax.random.split(ts.rng)
+        mb = (T * N) // 4
+        our_perm = np.asarray(jax.random.permutation(key_perm, 4 * mb))
+
+        ref_policy = _ref_actor_critic(ps.params)
+        ref = RefPPO(ref_policy, num_learning_epochs=5, num_mini_batches=4,
+                     schedule="adaptive", desired_kl=0.01, learning_rate=lr0,
+                     max_grad_norm=1.0)
+        obs_td = TensorDictShim({"policy": torch.zeros(N, D)}, batch_size=[N])
+        ref.init_storage("rl", N, T, obs_td, [A])
+        s = ref.storage
+        s.observations["policy"].copy_(torch.from_numpy(data["obs"]))
+        s.actions.copy_(torch.from_numpy(data["actions"]))
+        s.rewards.copy_(torch.from_numpy(data["rewards"]).unsqueeze(-1))
+        s.dones.copy_(torch.from_numpy(data["dones"]).unsqueeze(-1))
+        s.values.copy_(torch.from_numpy(data["values"]).unsqueeze(-1))
+        s.actions_log_prob.copy_(torch.from_numpy(data["log_probs"]).unsqueeze(-1))
+        s.mu.copy_(torch.from_numpy(data["mu"]))
+        s.sigma.copy_(torch.from_numpy(data["sigma"]))
+        s.step = T
+        last = TensorDictShim({"policy": torch.from_numpy(data["last_obs"])}, batch_size=[N])
+
+        orig_randperm = torch.randperm
+        torch.randperm = lambda n, **kw: torch.from_numpy(our_perm.copy()).long()
+        try:
+            with torch.inference_mode():
+                ref.compute_returns(last)
+            ref.update()
+        finally:
+            torch.randperm = orig_randperm
+
+        assert np.isclose(float(um["Loss/learning_rate"]), ref.learning_rate, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(ts2.policy.params["std"]),
+            ref_policy.std.detach().numpy(),
+            rtol=1e-4, atol=1e-6,
+        )
+        our_k = np.asarray(ts2.policy.params["actor"]["dense_2"]["kernel"])
+        ref_k = ref_policy.actor[4].weight.detach().numpy().T
+        np.testing.assert_allclose(our_k, ref_k, rtol=1e-3, atol=2e-5)
