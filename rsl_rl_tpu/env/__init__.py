@@ -5,6 +5,7 @@ from rsl_rl_tpu.env.cartpole import CartPoleSwingUp
 from rsl_rl_tpu.env.host_env import GymVecEnv, HostVecEnv
 from rsl_rl_tpu.env.mjx_env import MJXEnv
 from rsl_rl_tpu.env.pendulum import PartiallyObservablePendulum, Pendulum
+from rsl_rl_tpu.env.reacher import Reacher
 from rsl_rl_tpu.env.sparse import SparseGoalReach
 from rsl_rl_tpu.env.toy import PointMass
 from rsl_rl_tpu.env.vec_env import EnvState, VecEnv
@@ -21,4 +22,5 @@ __all__ = [
     "MJXEnv",
     "SparseGoalReach",
     "BraxVecEnv",
+    "Reacher",
 ]

@@ -1,5 +1,6 @@
 """Utility layer: resolvers, registry, writers, checkpointing, git snapshot."""
 
+from rsl_rl_tpu.utils.config import load_train_cfg
 from rsl_rl_tpu.utils.registry import register, registered, resolve
 from rsl_rl_tpu.utils.resolvers import (
     resolve_nn_activation,
@@ -13,6 +14,7 @@ from rsl_rl_tpu.utils.trajectories import (
 )
 
 __all__ = [
+    "load_train_cfg",
     "register",
     "registered",
     "resolve",

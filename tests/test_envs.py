@@ -10,6 +10,7 @@ from rsl_rl_tpu.env import (
     PartiallyObservablePendulum,
     Pendulum,
     PointMass,
+    Reacher,
     SparseGoalReach,
 )
 
@@ -19,6 +20,7 @@ ENVS = [
     lambda n: CartPoleSwingUp(num_envs=n, max_episode_length=50),
     lambda n: PointMass(num_envs=n, max_episode_length=50),
     lambda n: SparseGoalReach(num_envs=n, max_episode_length=50),
+    lambda n: Reacher(num_envs=n, max_episode_length=50),
 ]
 
 
@@ -117,3 +119,15 @@ class TestCartPolePhysics:
                 assert not bool(extras["time_outs"][0])  # true terminal
                 break
         assert done_seen
+
+
+class TestConfigLoading:
+    def test_example_config_parses(self):
+        import os
+        from rsl_rl_tpu.utils import load_train_cfg
+
+        path = os.path.join(os.path.dirname(__file__), "..", "config", "example_config.yaml")
+        cfg = load_train_cfg(path)
+        assert cfg["num_steps_per_env"] == 24
+        assert cfg["policy"]["class_name"] == "ActorCritic"
+        assert cfg["algorithm"]["class_name"] == "PPO"
