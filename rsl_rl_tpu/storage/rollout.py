@@ -8,8 +8,9 @@ same memory layout, no copies, no overflow guard needed.
 
 Minibatch generation mirrors the reference's three generators:
 
-- feedforward: flatten ``[T, N] -> [T*N]``, one permutation per update reused
-  across epochs (reference rollout_storage.py:160-203),
+- feedforward: one epoch-shared permutation applied as a single packed-row
+  gather, then contiguous slices per minibatch (reference
+  rollout_storage.py:160-203; implemented in rsl_rl_tpu/algorithms/ppo.py),
 - recurrent: contiguous env slices per minibatch, trajectory replay handled by
   the policy's sequence scan (reference rollout_storage.py:206-260),
 - distillation: sequential time-major replay (reference
@@ -65,20 +66,6 @@ class Rollout:
         )
 
 
-def ff_minibatch_indices(
-    key: jax.Array, batch_size: int, num_mini_batches: int, num_epochs: int
-) -> jax.Array:
-    """Flat-batch minibatch indices, ``[num_epochs * num_mini_batches, mb]``.
-
-    One permutation per update, reused across epochs, truncating the remainder
-    — exactly the reference generator (rollout_storage.py:163-165).
-    """
-    mb = batch_size // num_mini_batches
-    perm = jax.random.permutation(key, num_mini_batches * mb)
-    per_epoch = perm.reshape(num_mini_batches, mb)
-    return jnp.tile(per_epoch, (num_epochs, 1))
-
-
 def recurrent_minibatch_starts(
     num_envs: int, num_mini_batches: int, num_epochs: int
 ) -> jax.Array:
@@ -87,16 +74,6 @@ def recurrent_minibatch_starts(
     mb = num_envs // num_mini_batches
     starts = jnp.arange(num_mini_batches, dtype=jnp.int32) * mb
     return jnp.tile(starts, (num_epochs,))
-
-
-def take_flat(tree: Any, idx: jax.Array) -> Any:
-    """Gather rows ``idx`` from ``[T*N, ...]``-flattened leaves of a
-    time-major tree."""
-    def gather(x):
-        flat = x.reshape((-1,) + x.shape[2:])
-        return jnp.take(flat, idx, axis=0)
-
-    return jax.tree.map(gather, tree)
 
 
 def slice_envs(tree: Any, start: jax.Array, size: int, axis: int = 1) -> Any:
