@@ -148,6 +148,42 @@ class TestDataParallelConsistency:
             results[ndev] = losses
         np.testing.assert_allclose(results[1], results[2], rtol=1e-4)
 
+    def test_1dev_vs_2dev_same_losses_recurrent(self):
+        """Same invariant for the recurrent policy: the hidden-state carry and
+        BPTT replay must shard along the env axis without changing results."""
+        from rsl_rl_tpu.modules import ActorCriticRecurrent
+        from rsl_rl_tpu.parallel.mesh import (
+            data_sharding,
+            make_mesh,
+            replicated,
+            shard_tree,
+        )
+
+        results = {}
+        for ndev in (1, 2):
+            env = Pendulum(num_envs=16)
+            _, obs = env.reset(jax.random.PRNGKey(0))
+            policy = ActorCriticRecurrent(
+                obs, {"policy": ["policy"], "critic": ["policy"]}, env.num_actions,
+                rnn_type="gru", rnn_hidden_dim=8,
+                actor_hidden_dims=[16], critic_hidden_dims=[16],
+            )
+            ppo = PPO(policy, num_mini_batches=2)
+            ts = ppo.init_train_state(jax.random.PRNGKey(1), 16)
+            cs = ppo.init_collect_state(jax.random.PRNGKey(2), env)
+            mesh = make_mesh(jax.devices()[:ndev])
+            ts = shard_tree(ts, replicated(mesh))
+            cs = shard_tree(cs, data_sharding(mesh))
+            collect = jax.jit(ppo.make_collect_fn(env, 8))
+            update = jax.jit(ppo.make_update_fn())
+            losses = []
+            for _ in range(3):
+                ts, cs, rollout, cm = collect(ts, cs)
+                ts, cs, um = update(ts, cs, rollout)
+                losses.append(float(um["Loss/surrogate"]) + float(um["Loss/value_function"]))
+            results[ndev] = losses
+        np.testing.assert_allclose(results[1], results[2], rtol=1e-4)
+
 
 class TestCheckpointing:
     def test_save_load_resume_identical(self, tmp_path):
