@@ -21,7 +21,14 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from rsl_rl_tpu.algorithms.ppo import CollectState, EpisodeStats, TrainState, init_episode_stats
+from rsl_rl_tpu.algorithms.ppo import (
+    CollectState,
+    TrainState,
+    collect_extras_logs,
+    init_episode_acc,
+    init_episode_stats,
+    step_episode_stats,
+)
 from rsl_rl_tpu.ops import distributions
 from rsl_rl_tpu.storage.rollout import Rollout
 from rsl_rl_tpu.utils.registry import register
@@ -127,34 +134,14 @@ class Distillation:
             ps = policy.update_normalization(ps, next_obs)
             pol_carry = policy.reset_carry(pol_carry, done)
 
-            stats = EpisodeStats(
-                cur_reward_sum=stats.cur_reward_sum + rew,
-                cur_episode_length=stats.cur_episode_length + 1.0,
-                cur_ereward_sum=stats.cur_ereward_sum,
-                cur_ireward_sum=stats.cur_ireward_sum,
-            )
-            acc = {
-                "ep_reward_sum": acc["ep_reward_sum"] + jnp.sum(stats.cur_reward_sum * done_f),
-                "ep_length_sum": acc["ep_length_sum"] + jnp.sum(stats.cur_episode_length * done_f),
-                "ep_count": acc["ep_count"] + jnp.sum(done_f),
-            }
-            keep = 1.0 - done_f
-            stats = stats.replace(
-                cur_reward_sum=stats.cur_reward_sum * keep,
-                cur_episode_length=stats.cur_episode_length * keep,
-            )
-
-            log_out = {}
-            for extras_key in ("episode", "log"):
-                if extras_key in extras:
-                    for k, v in extras[extras_key].items():
-                        log_out[k] = jnp.mean(jnp.asarray(v, jnp.float32))
+            stats, acc = step_episode_stats(stats, acc, rew, jnp.zeros_like(rew), done_f)
+            log_out = collect_extras_logs(extras)
 
             outputs = (obs, action, privileged_action, rew, done, jnp.mean(std), log_out)
             return (ps, env_state, next_obs, pol_carry, stats, key, acc), outputs
 
         def collect(ts: TrainState, cs: CollectState):
-            acc0 = {k: jnp.zeros((), jnp.float32) for k in ("ep_reward_sum", "ep_length_sum", "ep_count")}
+            acc0 = init_episode_acc()
             carry0 = cs.carry
             init = (ts.policy, cs.env_state, cs.obs, cs.carry, cs.stats, ts.rng, acc0)
             (ps, env_state, obs, pol_carry, stats, key, acc), outs = jax.lax.scan(
@@ -171,8 +158,6 @@ class Distillation:
                 carry0=carry0 if policy.is_recurrent else None,
             )
             metrics = dict(acc)
-            metrics["ep_ereward_sum"] = jnp.zeros((), jnp.float32)
-            metrics["ep_ireward_sum"] = jnp.zeros((), jnp.float32)
             metrics["Policy/mean_noise_std"] = jnp.mean(stds)
             for k, v in log_outs.items():
                 metrics[f"extras/{k}"] = jnp.mean(v)
@@ -207,15 +192,15 @@ class Distillation:
             return ps, carry
 
         def collect(ts: TrainState, cs: CollectState):
+            from rsl_rl_tpu.algorithms.host_collect import HostEpisodeTracker, stack_trajectory
+
             ps, key = ts.policy, ts.rng
-            obs, carry, stats = cs.obs, cs.carry, cs.stats
+            obs, carry = cs.obs, cs.carry
             carry0 = carry
-            cur_rew = np.asarray(stats.cur_reward_sum).copy()
-            cur_len = np.asarray(stats.cur_episode_length).copy()
-            acc = {"ep_reward_sum": 0.0, "ep_length_sum": 0.0, "ep_count": 0.0}
-            log_acc: dict[str, float] = {}
+            tracker = HostEpisodeTracker(cs.stats)
             traj = {k: [] for k in ("obs", "actions", "privileged_actions", "rewards", "dones")}
             stds = []
+            zero_irew = np.zeros((env.num_envs,), np.float32)
             for _ in range(num_steps_per_env):
                 action, privileged, std_mean, carry, key = act_step(ps, obs, carry, key)
                 next_obs, rew_np, done_np, extras = env.step(np.asarray(action))
@@ -230,43 +215,17 @@ class Distillation:
                 traj["dones"].append(done)
                 stds.append(std_mean)
                 obs = next_obs
+                tracker.step(np.asarray(rew_np), zero_irew, done_np, extras)
 
-                cur_rew += rew_np
-                cur_len += 1.0
-                if done_np.any():
-                    d = done_np.astype(bool)
-                    acc["ep_reward_sum"] += float(cur_rew[d].sum())
-                    acc["ep_length_sum"] += float(cur_len[d].sum())
-                    acc["ep_count"] += float(d.sum())
-                    cur_rew[d] = 0.0
-                    cur_len[d] = 0.0
-                for extras_key in ("episode", "log"):
-                    if extras_key in extras:
-                        for k, v in extras[extras_key].items():
-                            log_acc[k] = log_acc.get(k, 0.0) + float(np.mean(v))
-
-            stack = lambda xs: jax.tree.map(lambda *ys: jnp.stack(ys), *xs)
+            stacked = stack_trajectory(traj)
             rollout = Rollout(
-                obs=stack(traj["obs"]),
-                actions=jnp.stack(traj["actions"]),
-                rewards=jnp.stack(traj["rewards"]),
-                dones=jnp.stack(traj["dones"]),
-                privileged_actions=jnp.stack(traj["privileged_actions"]),
-                carry0=carry0 if policy.is_recurrent else None,
+                **stacked, carry0=carry0 if policy.is_recurrent else None
             )
-            metrics = {k: jnp.asarray(v, jnp.float32) for k, v in acc.items()}
-            metrics["ep_ereward_sum"] = jnp.zeros((), jnp.float32)
-            metrics["ep_ireward_sum"] = jnp.zeros((), jnp.float32)
+            metrics = tracker.metrics()
             metrics["Policy/mean_noise_std"] = jnp.mean(jnp.stack(stds))
-            for k, v in log_acc.items():
-                metrics[f"extras/{k}"] = jnp.asarray(v / num_steps_per_env, jnp.float32)
 
-            new_stats = stats.replace(
-                cur_reward_sum=jnp.asarray(cur_rew),
-                cur_episode_length=jnp.asarray(cur_len),
-            )
             ts = ts.replace(policy=ps, rng=key)
-            cs = CollectState(env_state=(), obs=obs, carry=carry, stats=new_stats)
+            cs = CollectState(env_state=(), obs=obs, carry=carry, stats=tracker.stats())
             return ts, cs, rollout, metrics
 
         return collect

@@ -82,6 +82,56 @@ def init_episode_stats(num_envs: int) -> EpisodeStats:
     return EpisodeStats(z, z, z, z)
 
 
+ACC_KEYS = ("ep_reward_sum", "ep_length_sum", "ep_ereward_sum", "ep_ireward_sum", "ep_count")
+
+
+def init_episode_acc() -> dict[str, jax.Array]:
+    """Zeroed per-iteration episode totals carried through the collect scan."""
+    return {k: jnp.zeros((), jnp.float32) for k in ACC_KEYS}
+
+
+def step_episode_stats(
+    stats: EpisodeStats, acc: dict, rew: jax.Array, irew: jax.Array, done_f: jax.Array
+) -> tuple[EpisodeStats, dict]:
+    """Advance per-env episode accumulators one step and fold the episodes
+    that finished this step into the iteration totals (the on-device
+    replacement for the reference's per-step host bookkeeping,
+    on_policy_runner.py:113-139). Shared by PPO and Distillation collection.
+    """
+    stats = EpisodeStats(
+        cur_reward_sum=stats.cur_reward_sum + rew + irew,
+        cur_episode_length=stats.cur_episode_length + 1.0,
+        cur_ereward_sum=stats.cur_ereward_sum + rew,
+        cur_ireward_sum=stats.cur_ireward_sum + irew,
+    )
+    acc = {
+        "ep_reward_sum": acc["ep_reward_sum"] + jnp.sum(stats.cur_reward_sum * done_f),
+        "ep_length_sum": acc["ep_length_sum"] + jnp.sum(stats.cur_episode_length * done_f),
+        "ep_ereward_sum": acc["ep_ereward_sum"] + jnp.sum(stats.cur_ereward_sum * done_f),
+        "ep_ireward_sum": acc["ep_ireward_sum"] + jnp.sum(stats.cur_ireward_sum * done_f),
+        "ep_count": acc["ep_count"] + jnp.sum(done_f),
+    }
+    keep = 1.0 - done_f
+    stats = EpisodeStats(
+        cur_reward_sum=stats.cur_reward_sum * keep,
+        cur_episode_length=stats.cur_episode_length * keep,
+        cur_ereward_sum=stats.cur_ereward_sum * keep,
+        cur_ireward_sum=stats.cur_ireward_sum * keep,
+    )
+    return stats, acc
+
+
+def collect_extras_logs(extras: dict) -> dict[str, jax.Array]:
+    """Per-step scalar means of the env's ``episode``/``log`` extras
+    (reference on_policy_runner.py:113-117)."""
+    out = {}
+    for extras_key in ("episode", "log"):
+        if extras_key in extras:
+            for k, v in extras[extras_key].items():
+                out[k] = jnp.mean(jnp.asarray(v, jnp.float32))
+    return out
+
+
 @register("algorithm")
 class PPO:
     """Clipped-surrogate PPO with adaptive-KL LR, RND and symmetry support."""
@@ -250,42 +300,14 @@ class PPO:
 
             # episode bookkeeping, fully on device
             # (replaces on_policy_runner.py:113-139)
-            stats = EpisodeStats(
-                cur_reward_sum=stats.cur_reward_sum + rew + irew,
-                cur_episode_length=stats.cur_episode_length + 1.0,
-                cur_ereward_sum=stats.cur_ereward_sum + rew,
-                cur_ireward_sum=stats.cur_ireward_sum + irew,
-            )
-            acc = {
-                "ep_reward_sum": acc["ep_reward_sum"] + jnp.sum(stats.cur_reward_sum * done_f),
-                "ep_length_sum": acc["ep_length_sum"] + jnp.sum(stats.cur_episode_length * done_f),
-                "ep_ereward_sum": acc["ep_ereward_sum"] + jnp.sum(stats.cur_ereward_sum * done_f),
-                "ep_ireward_sum": acc["ep_ireward_sum"] + jnp.sum(stats.cur_ireward_sum * done_f),
-                "ep_count": acc["ep_count"] + jnp.sum(done_f),
-            }
-            keep = 1.0 - done_f
-            stats = EpisodeStats(
-                cur_reward_sum=stats.cur_reward_sum * keep,
-                cur_episode_length=stats.cur_episode_length * keep,
-                cur_ereward_sum=stats.cur_ereward_sum * keep,
-                cur_ireward_sum=stats.cur_ireward_sum * keep,
-            )
-
-            # per-step extras logging (reference on_policy_runner.py:113-117)
-            log_out = {}
-            for extras_key in ("episode", "log"):
-                if extras_key in extras:
-                    for k, v in extras[extras_key].items():
-                        log_out[k] = jnp.mean(jnp.asarray(v, jnp.float32))
+            stats, acc = step_episode_stats(stats, acc, rew, irew, done_f)
+            log_out = collect_extras_logs(extras)
 
             outputs = (obs, action, total_rew, done, value, log_p, mean, std, log_out)
             return (ps, rnd_state, env_state, next_obs, pol_carry, stats, key, acc), outputs
 
         def collect(ts: TrainState, cs: CollectState):
-            acc0 = {
-                k: jnp.zeros((), jnp.float32)
-                for k in ("ep_reward_sum", "ep_length_sum", "ep_ereward_sum", "ep_ireward_sum", "ep_count")
-            }
+            acc0 = init_episode_acc()
             carry0 = cs.carry
             init = (ts.policy, ts.rnd, cs.env_state, cs.obs, cs.carry, cs.stats, ts.rng, acc0)
             (ps, rnd_state, env_state, obs, pol_carry, stats, key, acc), outs = jax.lax.scan(
@@ -354,16 +376,12 @@ class PPO:
             return ps, rnd_state, total, irew, carry
 
         def collect(ts: TrainState, cs: CollectState):
+            from rsl_rl_tpu.algorithms.host_collect import HostEpisodeTracker, stack_trajectory
+
             ps, rnd_state, key = ts.policy, ts.rnd, ts.rng
-            obs, carry, stats = cs.obs, cs.carry, cs.stats
+            obs, carry = cs.obs, cs.carry
             carry0 = carry
-            cur_rew = np.asarray(stats.cur_reward_sum).copy()
-            cur_len = np.asarray(stats.cur_episode_length).copy()
-            cur_erew = np.asarray(stats.cur_ereward_sum).copy()
-            cur_irew = np.asarray(stats.cur_ireward_sum).copy()
-            acc = {k: 0.0 for k in ("ep_reward_sum", "ep_length_sum", "ep_ereward_sum",
-                                    "ep_ireward_sum", "ep_count")}
-            log_acc: dict[str, float] = {}
+            tracker = HostEpisodeTracker(cs.stats)
             traj = {k: [] for k in ("obs", "actions", "rewards", "dones", "values",
                                     "log_probs", "mu", "sigma")}
             for _ in range(num_steps_per_env):
@@ -376,8 +394,8 @@ class PPO:
                 )
                 next_obs = {k: jnp.asarray(v) for k, v in next_obs.items()}
                 ps, rnd_state, total_rew, irew_dev, carry = process_step(
-                    ps, rnd_state, next_obs, value, rew, time_outs, done
-                , carry)
+                    ps, rnd_state, next_obs, value, rew, time_outs, done, carry
+                )
 
                 traj["obs"].append(obs)
                 traj["actions"].append(action)
@@ -388,56 +406,19 @@ class PPO:
                 traj["mu"].append(mean)
                 traj["sigma"].append(std)
                 obs = next_obs
+                tracker.step(rew_np, np.asarray(irew_dev), done_np, extras)
 
-                # host-side episode bookkeeping (reference :113-139)
-                irew_np = np.asarray(irew_dev)
-                cur_rew += rew_np + irew_np
-                cur_erew += rew_np
-                cur_irew += irew_np
-                cur_len += 1.0
-                if done_np.any():
-                    d = done_np.astype(bool)
-                    acc["ep_reward_sum"] += float(cur_rew[d].sum())
-                    acc["ep_length_sum"] += float(cur_len[d].sum())
-                    acc["ep_ereward_sum"] += float(cur_erew[d].sum())
-                    acc["ep_ireward_sum"] += float(cur_irew[d].sum())
-                    acc["ep_count"] += float(d.sum())
-                    cur_rew[d] = 0.0
-                    cur_len[d] = 0.0
-                    cur_erew[d] = 0.0
-                    cur_irew[d] = 0.0
-                for extras_key in ("episode", "log"):
-                    if extras_key in extras:
-                        for k, v in extras[extras_key].items():
-                            log_acc[k] = log_acc.get(k, 0.0) + float(np.mean(v))
-
-            stack = lambda xs: jax.tree.map(lambda *ys: jnp.stack(ys), *xs)
+            stacked = stack_trajectory(traj)
             rollout = Rollout(
-                obs=stack(traj["obs"]),
-                actions=jnp.stack(traj["actions"]),
-                rewards=jnp.stack(traj["rewards"]),
-                dones=jnp.stack(traj["dones"]),
-                values=jnp.stack(traj["values"]),
-                log_probs=jnp.stack(traj["log_probs"]),
-                mu=jnp.stack(traj["mu"]),
-                sigma=jnp.stack(traj["sigma"]),
-                carry0=carry0 if policy.is_recurrent else None,
+                **stacked, carry0=carry0 if policy.is_recurrent else None
             )
-            metrics = {k: jnp.asarray(v, jnp.float32) for k, v in acc.items()}
+            metrics = tracker.metrics()
             metrics["Policy/mean_noise_std"] = jnp.mean(rollout.sigma)
             if rnd is not None:
                 metrics["Rnd/weight"] = rnd.current_weight(rnd_state.counter)
-            for k, v in log_acc.items():
-                metrics[f"extras/{k}"] = jnp.asarray(v / num_steps_per_env, jnp.float32)
 
-            new_stats = EpisodeStats(
-                cur_reward_sum=jnp.asarray(cur_rew),
-                cur_episode_length=jnp.asarray(cur_len),
-                cur_ereward_sum=jnp.asarray(cur_erew),
-                cur_ireward_sum=jnp.asarray(cur_irew),
-            )
             ts = ts.replace(policy=ps, rnd=rnd_state, rng=key)
-            cs = CollectState(env_state=(), obs=obs, carry=carry, stats=new_stats)
+            cs = CollectState(env_state=(), obs=obs, carry=carry, stats=tracker.stats())
             return ts, cs, rollout, metrics
 
         return collect

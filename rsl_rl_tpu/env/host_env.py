@@ -57,6 +57,19 @@ class GymVecEnv(HostVecEnv):
     """
 
     def __init__(self, env, obs_group: str = "policy", cfg: dict | None = None):
+        # Gymnasium >= 1.0 defaults vector envs to NEXT_STEP autoreset: the
+        # done step returns the TERMINAL obs and the following step ignores
+        # its action and returns the reset obs. That violates this adapter's
+        # same-step contract (the obs at done must start the fresh episode,
+        # like Isaac-style simulators) and would corrupt every
+        # episode-boundary transition, so reject it loudly.
+        mode = getattr(env, "metadata", {}).get("autoreset_mode")
+        if mode is not None and getattr(mode, "name", str(mode)) != "SAME_STEP":
+            raise ValueError(
+                f"GymVecEnv requires same-step autoreset, got {mode}. Construct the"
+                " vector env with gym.make_vec(..., vector_kwargs={'autoreset_mode':"
+                " gymnasium.vector.AutoresetMode.SAME_STEP})."
+            )
         self.env = env
         self.obs_group = obs_group
         self.num_envs = env.num_envs

@@ -30,6 +30,28 @@ from rsl_rl_tpu.ops.running_norm import init_running_norm, normalize, update_run
 from rsl_rl_tpu.utils.registry import register
 
 
+def _remap_teacher_norm(loaded_norm: dict, current_teacher_norm):
+    """Map the RL actor's obs-normalizer stats onto the teacher.
+
+    Mirrors the reference's strict ``load_state_dict`` into the teacher
+    normalizer (reference student_teacher.py:182-197): a teacher trained WITH
+    normalization must receive the stats, and a teacher trained WITHOUT must
+    not silently get raw-obs semantics changed — mismatches raise instead of
+    silently producing a teacher that normalizes differently than it was
+    trained.
+    """
+    loaded = loaded_norm.get("actor")
+    if (loaded is None) != (current_teacher_norm is None):
+        raise ValueError(
+            "Teacher obs-normalization mismatch: the RL checkpoint's actor "
+            f"{'has' if loaded is not None else 'has no'} normalizer stats but the "
+            f"distillation policy was configured with teacher_obs_normalization="
+            f"{current_teacher_norm is not None}. Set teacher_obs_normalization to "
+            "match how the teacher was trained."
+        )
+    return loaded
+
+
 @register("policy")
 class StudentTeacher:
     is_recurrent = False
@@ -176,8 +198,7 @@ class StudentTeacher:
             check_state_compatible(aux["teacher"], loaded_params["actor"], "teacher network")
             aux["teacher"] = loaded_params["actor"]
             loaded_norm = loaded.norm if isinstance(loaded, PolicyState) else loaded["norm"]
-            if loaded_norm.get("actor") is not None and aux.get("teacher_norm") is not None:
-                aux["teacher_norm"] = loaded_norm["actor"]
+            aux["teacher_norm"] = _remap_teacher_norm(loaded_norm, aux.get("teacher_norm"))
             self.loaded_teacher = True
             return ps.replace(aux=aux), False
         if "student" in loaded_params:

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from rsl_rl_tpu.modules.policy import PolicyState, check_state_compatible
-from rsl_rl_tpu.modules.student_teacher import StudentTeacher
+from rsl_rl_tpu.modules.student_teacher import StudentTeacher, _remap_teacher_norm
 from rsl_rl_tpu.networks.memory import Memory, mask_carry
 from rsl_rl_tpu.ops.running_norm import init_running_norm
 from rsl_rl_tpu.utils.registry import register
@@ -152,8 +152,7 @@ class StudentTeacherRecurrent(StudentTeacher):
             check_state_compatible(aux["teacher"], loaded_params["actor"], "teacher network")
             aux["teacher"] = loaded_params["actor"]
             loaded_norm = loaded.norm if isinstance(loaded, PolicyState) else loaded["norm"]
-            if loaded_norm.get("actor") is not None and aux.get("teacher_norm") is not None:
-                aux["teacher_norm"] = loaded_norm["actor"]
+            aux["teacher_norm"] = _remap_teacher_norm(loaded_norm, aux.get("teacher_norm"))
             # teacher memory weights come from the RL policy's actor memory
             # (reference student_teacher_recurrent.py:230-235)
             if self.teacher_recurrent:

@@ -52,10 +52,6 @@ def supports_pallas_rnn(batch: int, hidden: int) -> bool:
     )
 
 
-# backwards-compatible alias
-supports_pallas_gru = supports_pallas_rnn
-
-
 # --------------------------------------------------------------------------
 # forward kernel
 # --------------------------------------------------------------------------

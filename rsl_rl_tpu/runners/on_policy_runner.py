@@ -66,7 +66,7 @@ class OnPolicyRunner:
         self.policy_cfg = dict(train_cfg["policy"])
         self.env = env
         self.log_dir = log_dir
-        self.device = device  # kept for API parity; placement is mesh-driven
+        self.device = device
 
         self.num_steps_per_env = self.cfg["num_steps_per_env"]
         self.save_interval = self.cfg["save_interval"]
@@ -74,9 +74,17 @@ class OnPolicyRunner:
         # ---- host (non-JAX) envs use the hybrid collection loop
         self.is_jax_env = getattr(env, "is_jax", True)
 
-        # ---- mesh over all devices (data parallelism; SURVEY.md §5.8)
-        devices = jax.devices() if device is None else None
-        self.mesh = make_mesh(devices) if (devices is None or len(devices) >= 1) else None
+        # ---- device mesh (data parallelism; SURVEY.md §5.8). By default the
+        # mesh spans all devices; a `device` argument (API parity with the
+        # reference's cuda:N pinning) restricts it to that single device.
+        if device is None:
+            self.mesh = make_mesh()
+        else:
+            if isinstance(device, str):
+                kind, _, idx = device.partition(":")
+                matches = [d for d in jax.devices(kind)] if kind else jax.devices()
+                device = matches[int(idx) if idx else 0]
+            self.mesh = make_mesh([device])
         self.num_devices = len(self.mesh.devices.flatten()) if self.is_jax_env else 1
         if env.num_envs % self.num_devices != 0:
             raise ValueError(

