@@ -200,7 +200,7 @@ def main():
         r = fns[c]()
         print(json.dumps(r), flush=True)
         results.append(r)
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
 

@@ -249,8 +249,8 @@ def main():
         "timings": timings,
         "curves": curves,
     }
-    os.makedirs("benchmarks/results", exist_ok=True)
     path = args.out
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f)
     print(json.dumps(rows, indent=2))

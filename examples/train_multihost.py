@@ -5,8 +5,11 @@ The TPU-native replacement for the reference's torchrun/NCCL workflow
 (e.g. with `gcloud compute tpus tpu-vm ssh --worker=all`). There is no rank
 logic in user code:
 
-- `jax.distributed.initialize()` wires the hosts together (coordinator from
-  the TPU metadata, or set JAX_COORDINATOR_ADDRESS / --coordinator),
+- `distributed_init()` wires the hosts together: it calls
+  `jax.distributed.initialize()` when pod-slice environment markers
+  (TPU_WORKER_HOSTNAMES / JAX_COORDINATOR_ADDRESS / ...) are present or when
+  --coordinator is given; the coordinator is auto-discovered from the TPU
+  metadata on Cloud TPU pods,
 - `jax.devices()` then spans the whole slice, `OnPolicyRunner` builds its
   `Mesh(("data",))` over it, shards env state along `data`, and XLA inserts
   the gradient/KL all-reduces over ICI,

@@ -22,16 +22,38 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def distributed_init(**kwargs) -> None:
+def _multi_host_markers_present() -> bool:
+    """True when the environment indicates a multi-host pod slice."""
+    if any(
+        os.environ.get(v)
+        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "MEGASCALE_COORDINATOR_ADDRESS")
+    ):
+        return True
+    # multi-worker TPU VMs list all worker hostnames comma-separated
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return "," in hostnames
+
+
+def distributed_init(**kwargs) -> bool:
     """Initialize JAX multi-host coordination when running on a pod slice.
 
     The equivalent of the reference's ``torch.distributed.init_process_group``
-    (on_policy_runner.py:393), driven by the standard JAX coordinator env vars
-    instead of WORLD_SIZE/RANK. Safe to call when single-host (no-op unless
-    coordinator variables are present).
+    (on_policy_runner.py:393). Initialization runs when explicit arguments are
+    given (e.g. ``coordinator_address=...``) OR when multi-host pod markers
+    are present — on multi-host TPU VMs ``jax.distributed.initialize``
+    auto-discovers the coordinator from the TPU metadata. Single-host runs
+    (no markers) are a no-op, so the same launch script works everywhere.
+
+    Returns True when multi-host coordination was initialized.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or kwargs:
+    if kwargs:
         jax.distributed.initialize(**kwargs)
+        return True
+    if _multi_host_markers_present():
+        jax.distributed.initialize()
+        return True
+    return False
 
 
 def make_mesh(devices=None) -> Mesh:

@@ -67,14 +67,28 @@ class TestContract:
         assert len(np.unique(lengths)) > 5  # actually randomized
 
     def test_autoreset_gives_fresh_obs(self, make_env):
-        """The obs returned on a done step must be the new episode's obs."""
+        """The obs returned on a done step must be the new episode's obs:
+        it must equal the observation computed from the post-reset state."""
         env = make_env(3)
         state, obs0 = env.reset(jax.random.PRNGKey(0))
         step = jax.jit(env.step)
+        done = None
         for _ in range(env.max_episode_length):
             state, obs, rew, done, extras = step(state, jnp.zeros((3, env.num_actions)))
-        # at the reset step the episode counter is back at 0
-        assert (np.asarray(state.episode_length) == 0).any() or not np.asarray(done).any()
+        assert np.asarray(done).any(), "no env finished within the time limit"
+        # the step's returned obs is derived from the already-reset state
+        # (all envs' _obs take the state; PointMass's optional last_action
+        # defaults to the zero action this loop uses)
+        fresh = env._obs(state)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+            ),
+            obs,
+            fresh,
+        )
+        # and the episode counter rewound for the done envs
+        assert (np.asarray(state.episode_length)[np.asarray(done)] == 0).all()
 
 
 class TestPendulumPhysics:

@@ -129,13 +129,19 @@ class TestAutoresetModeGate:
 
     def test_same_step_autoreset_gives_fresh_obs_at_done(self):
         """At the done step the returned obs must already belong to the new
-        episode (verified via the episode step counter resetting)."""
-        env = GymVecEnv(_make_vec(num_envs=2))
+        episode: it must match the underlying envs' post-reset state."""
+        raw = _make_vec(num_envs=2)
+        env = GymVecEnv(raw)
         env.reset(seed=0)
-        steps_since_done = 0
+        done = np.zeros(2, bool)
         for _ in range(250):
             obs, rew, done, extras = env.step(np.zeros((2, 1), np.float32))
-            steps_since_done = 0 if done.any() else steps_since_done + 1
             if done.any():
                 break
         assert done.any(), "no episode ended within 250 steps"
+        # the sync vector env exposes per-env simulators; their state was
+        # reset on this step, and the adapter's obs must reflect it
+        for i in np.flatnonzero(done):
+            theta, theta_dot = raw.unwrapped.envs[i].unwrapped.state
+            want = np.array([np.cos(theta), np.sin(theta), theta_dot], np.float32)
+            np.testing.assert_allclose(obs["policy"][i], want, rtol=1e-5, atol=1e-6)

@@ -464,3 +464,87 @@ class TestAdaptiveChainParity:
         our_k = np.asarray(ts2.policy.params["actor"]["dense_2"]["kernel"])
         ref_k = ref_policy.actor[4].weight.detach().numpy().T
         np.testing.assert_allclose(our_k, ref_k, rtol=1e-3, atol=2e-5)
+
+
+class TestDistillationUpdateParity:
+    """Truncated-BPTT distillation update vs the reference: same rollout,
+    copied weights, same gradient_length segmentation -> same behavior loss
+    and same post-update student parameters (reference distillation.py:105-151)."""
+
+    def test_distillation_update_matches(self):
+        from rsl_rl.algorithms import Distillation as RefDistillation
+        from rsl_rl.modules import StudentTeacher as RefStudentTeacher
+
+        from rsl_rl_tpu.algorithms.distillation import Distillation
+        from rsl_rl_tpu.modules import StudentTeacher
+
+        rng = np.random.default_rng(9)
+        obs_seq = rng.normal(size=(T + 1, N, D)).astype(np.float32)
+        dones_np = (rng.random((T, N)) < 0.1)
+
+        ours_policy = StudentTeacher(
+            {"policy": jnp.zeros((N, D))},
+            {"policy": ["policy"], "teacher": ["policy"]},
+            A,
+            student_hidden_dims=[32],
+            teacher_hidden_dims=[32],
+        )
+        ps = ours_policy.init(jax.random.PRNGKey(21))
+        ours_policy.loaded_teacher = True
+
+        obs_td0 = TensorDictShim({"policy": torch.zeros(N, D)}, batch_size=[N])
+        ref_policy = RefStudentTeacher(
+            obs_td0,
+            {"policy": ["policy"], "teacher": ["policy"]},
+            A,
+            student_hidden_dims=[32],
+            teacher_hidden_dims=[32],
+        )
+        _copy_mlp_params(ps.params["student"], ref_policy.student)
+        _copy_mlp_params(ps.aux["teacher"], ref_policy.teacher)
+        with torch.no_grad():
+            ref_policy.std.copy_(torch.from_numpy(np.asarray(ps.params["std"])))
+
+        G, LR = 7, 1e-3
+        ref = RefDistillation(ref_policy, num_learning_epochs=2, gradient_length=G,
+                              learning_rate=LR)
+        ref.init_storage("distillation", N, T, obs_td0, [A])
+        obs = TensorDictShim({"policy": torch.from_numpy(obs_seq[0])}, batch_size=[N])
+        for t in range(T):
+            with torch.no_grad():
+                ref.act(obs)
+            next_obs = TensorDictShim(
+                {"policy": torch.from_numpy(obs_seq[t + 1])}, batch_size=[N]
+            )
+            ref.process_env_step(
+                next_obs,
+                torch.zeros(N),
+                torch.from_numpy(dones_np[t].astype(np.uint8)),
+                {},
+            )
+            obs = next_obs
+        s = ref.storage
+        ref_losses = ref.update()
+
+        ours = Distillation(ours_policy, num_learning_epochs=2, gradient_length=G,
+                            learning_rate=LR)
+        ts = ours.init_train_state(jax.random.PRNGKey(0), N).replace(policy=ps)
+        rollout = Rollout(
+            obs={"policy": jnp.asarray(obs_seq[:T])},
+            actions=jnp.asarray(s.actions.numpy()),
+            rewards=jnp.zeros((T, N)),
+            dones=jnp.asarray(dones_np),
+            privileged_actions=jnp.asarray(s.privileged_actions.numpy()),
+        )
+        cs = CollectState(
+            env_state=(), obs={"policy": jnp.asarray(obs_seq[T])},
+            carry=(), stats=init_episode_stats(N),
+        )
+        ts_after, _, um = jax.jit(ours.make_update_fn())(ts, cs, rollout)
+
+        assert np.isclose(
+            float(um["Loss/behavior"]), ref_losses["behavior"], rtol=1e-4, atol=1e-6
+        ), f"behavior: ours={float(um['Loss/behavior'])} ref={ref_losses['behavior']}"
+        our_k = np.asarray(ts_after.policy.params["student"]["dense_1"]["kernel"])
+        ref_k = ref_policy.student[2].weight.detach().numpy().T
+        np.testing.assert_allclose(our_k, ref_k, rtol=1e-3, atol=2e-6)
