@@ -175,15 +175,22 @@ class RandomNetworkDistillation:
 
 def resolve_rnd_config(alg_cfg: dict, obs, obs_groups, env) -> dict:
     """Fill in ``num_states``/``obs_groups`` and scale the weight by the env
-    step dt (reference rnd.py:185-209)."""
+    step dt (reference rnd.py:185-209).
+
+    Works on a COPY of ``rnd_cfg``: the user's config dict is never mutated,
+    so constructing several runners from one config template doesn't compound
+    the ``weight * step_dt`` scaling (a latent footgun in the reference's
+    in-place version)."""
     if "rnd_cfg" in alg_cfg and alg_cfg["rnd_cfg"] is not None:
+        rnd_cfg = dict(alg_cfg["rnd_cfg"])
         num_rnd_state = 0
         for obs_group in obs_groups["rnd_state"]:
             assert len(obs[obs_group].shape) == 2, "The RND module only supports 1D observations."
             num_rnd_state += obs[obs_group].shape[-1]
-        alg_cfg["rnd_cfg"]["num_states"] = num_rnd_state
-        alg_cfg["rnd_cfg"]["obs_groups"] = obs_groups
+        rnd_cfg["num_states"] = num_rnd_state
+        rnd_cfg["obs_groups"] = obs_groups
         step_dt = getattr(getattr(env, "unwrapped", env), "step_dt", None)
         if step_dt is not None:
-            alg_cfg["rnd_cfg"]["weight"] *= step_dt
+            rnd_cfg["weight"] = rnd_cfg["weight"] * step_dt
+        alg_cfg["rnd_cfg"] = rnd_cfg
     return alg_cfg

@@ -21,5 +21,6 @@ from __future__ import annotations
 
 def resolve_symmetry_config(alg_cfg: dict, env) -> dict:
     if "symmetry_cfg" in alg_cfg and alg_cfg["symmetry_cfg"] is not None:
-        alg_cfg["symmetry_cfg"]["_env"] = env
+        # copy so the user's config template is never mutated
+        alg_cfg["symmetry_cfg"] = {**alg_cfg["symmetry_cfg"], "_env": env}
     return alg_cfg

@@ -271,8 +271,10 @@ class OnPolicyRunner:
                         self.writer.save_file(path)
 
         if self.log_dir is not None and not self.disable_logs:
-            self.save(os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt"))
+            # drain in-flight periodic saves first so the final (newest) state
+            # is deterministically what ends up on disk for this iteration
             wait_for_saves()
+            self.save(os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt"))
 
     # --------------------------------------------------------------- logging
 
@@ -374,7 +376,9 @@ class OnPolicyRunner:
     def save(self, path: str, infos=None, block: bool = True) -> None:
         """Save the train state (reference on_policy_runner.py:289-305).
 
-        ``block=False`` snapshots the state now but writes in the background.
+        ``block=False`` snapshots the state now but writes in the background
+        (forced back to blocking when an experiment tracker must upload the
+        finished file).
         """
         ts = self.train_state
         state = {
@@ -387,8 +391,11 @@ class OnPolicyRunner:
         if ts.rnd is not None:
             state["rnd"] = ts.rnd
             state["rnd_opt_state"] = ts.rnd_opt_state
-        save_checkpoint(path, state, block=block)
-        if self.logger_type in ["neptune", "wandb"] and not self.disable_logs and self.writer:
+        uploads = (
+            self.logger_type in ["neptune", "wandb"] and not self.disable_logs and self.writer
+        )
+        save_checkpoint(path, state, block=block or bool(uploads))
+        if uploads:
             self.writer.save_model(path, self.current_learning_iteration)
 
     def load(self, path: str, load_optimizer: bool = True, map_location=None):
@@ -398,7 +405,18 @@ class OnPolicyRunner:
         ts = self.train_state
         new_policy, resumed = self.alg.policy.load_state_dict(ts.policy, loaded["model"])
         ts = ts.replace(policy=new_policy)
-        if ts.rnd is not None and "rnd" in loaded:
+        if ts.rnd is not None and resumed:
+            # resuming an RND run requires the RND state; restore it strictly
+            # (the reference's rnd.load_state_dict(loaded["rnd_state_dict"])
+            # likewise fails loudly on absence/mismatch)
+            if "rnd" not in loaded:
+                raise ValueError(
+                    f"Checkpoint {path} has no RND state but this run has RND enabled;"
+                    " it was saved by a non-RND configuration."
+                )
+            from rsl_rl_tpu.modules.policy import check_state_compatible
+
+            check_state_compatible(ts.rnd, loaded["rnd"], "RND state")
             ts = ts.replace(rnd=loaded["rnd"])
         if load_optimizer and resumed:
             ts = ts.replace(opt_state=loaded["opt_state"], lr=jnp.asarray(loaded["lr"]))

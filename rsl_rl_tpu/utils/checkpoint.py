@@ -23,6 +23,7 @@ Robustness beyond the reference (SURVEY.md §5.3-5.4):
 
 from __future__ import annotations
 
+import itertools
 import os
 import pickle
 import re
@@ -34,6 +35,7 @@ import numpy as np
 
 _CKPT_RE = re.compile(r"model_(\d+)\.ckpt$")
 _pending: list[threading.Thread] = []
+_tmp_counter = itertools.count()
 
 
 def _to_host(tree: Any) -> Any:
@@ -41,7 +43,11 @@ def _to_host(tree: Any) -> Any:
 
 
 def _write_atomic(path: str, state: dict) -> None:
-    tmp = path + ".tmp"
+    # unique temp name: a blocking save may overlap an in-flight async save of
+    # the SAME path (e.g. learn()'s final save right after a periodic one);
+    # with distinct temp files each os.replace is atomic and last-wins, so the
+    # destination is always a complete checkpoint
+    tmp = f"{path}.tmp{next(_tmp_counter)}-{threading.get_ident()}"
     with open(tmp, "wb") as f:
         pickle.dump(state, f)
     os.replace(tmp, path)

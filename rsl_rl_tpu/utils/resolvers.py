@@ -69,7 +69,11 @@ def resolve_optimizer(optimizer_name: str) -> Callable[..., optax.GradientTransf
     if name == "sgd":
         return lambda **kw: optax.identity()
     if name == "rmsprop":
-        return lambda **kw: optax.scale_by_rms(**kw)
+        # match torch.optim.RMSprop defaults: alpha=0.99, eps added OUTSIDE
+        # the sqrt (optax's defaults are decay=0.9 with eps inside)
+        return lambda decay=0.99, eps=1e-8, **kw: optax.scale_by_rms(
+            decay=decay, eps=eps, eps_in_sqrt=False, **kw
+        )
     raise ValueError(
         f"Invalid optimizer '{optimizer_name}'. Valid optimizers are: ['adam', 'adamw', 'sgd', 'rmsprop']"
     )

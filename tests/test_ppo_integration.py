@@ -293,3 +293,57 @@ class TestFusedIteration:
         runner.learn(3)
         assert runner.current_learning_iteration == 2
         assert any(f.startswith("events.out") for f in os.listdir(str(tmp_path)))
+
+
+class TestConfigReuse:
+    def test_rnd_weight_not_compounded_across_runners(self):
+        """Building two runners from ONE config template must not scale the
+        RND weight by step_dt twice (resolve_rnd_config copies, never
+        mutates the user's dict)."""
+        from rsl_rl_tpu.env import PointMass
+
+        template = {
+            "num_steps_per_env": 8, "save_interval": 100, "seed": 1,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"],
+                           "rnd_state": ["policy"]},
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                       "critic_hidden_dims": [16]},
+            "algorithm": {"class_name": "PPO", "rnd_cfg": {
+                "weight": 1.0, "predictor_hidden_dims": [8],
+                "target_hidden_dims": [8], "num_outputs": 4,
+            }},
+        }
+        r1 = OnPolicyRunner(PointMass(num_envs=4), template, log_dir=None)
+        r2 = OnPolicyRunner(PointMass(num_envs=4), template, log_dir=None)
+        assert template["algorithm"]["rnd_cfg"]["weight"] == 1.0
+        dt = PointMass(num_envs=1).step_dt
+        assert np.isclose(r1.alg.rnd.initial_weight, dt)
+        assert np.isclose(r2.alg.rnd.initial_weight, dt)
+
+    def test_rnd_resume_requires_rnd_state(self, tmp_path):
+        """Resuming an RND run from a non-RND checkpoint must fail loudly."""
+        from rsl_rl_tpu.env import PointMass
+
+        plain_cfg = {
+            "num_steps_per_env": 8, "save_interval": 100, "seed": 1,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                       "critic_hidden_dims": [16]},
+            "algorithm": {"class_name": "PPO"},
+        }
+        plain = OnPolicyRunner(PointMass(num_envs=4), plain_cfg, log_dir=None)
+        ckpt = str(tmp_path / "plain.ckpt")
+        plain.save(ckpt)
+
+        rnd_cfg = {
+            **plain_cfg,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"],
+                           "rnd_state": ["policy"]},
+            "algorithm": {"class_name": "PPO", "rnd_cfg": {
+                "weight": 1.0, "predictor_hidden_dims": [8],
+                "target_hidden_dims": [8], "num_outputs": 4,
+            }},
+        }
+        rnd_runner = OnPolicyRunner(PointMass(num_envs=4), rnd_cfg, log_dir=None)
+        with pytest.raises(ValueError, match="no RND state"):
+            rnd_runner.load(ckpt)
