@@ -207,9 +207,13 @@ class PPO:
                     "Data augmentation enabled but the function is not callable:"
                     f" {symmetry_cfg['data_augmentation_func']}"
                 )
-            if policy.is_recurrent and use_symmetry:
+            if policy.is_recurrent:
+                # (the reference would also misbehave here: its symmetry block
+                # feeds the whole [T, nb] replay batch through the stateful
+                # single-step act_inference, ppo.py:317-348)
                 raise NotImplementedError(
-                    "Symmetry augmentation with recurrent policies is not supported yet."
+                    "Symmetry configs (including logging-only) are not supported with"
+                    " recurrent policies yet."
                 )
             self.symmetry = symmetry_cfg
 
@@ -680,12 +684,18 @@ class PPO:
         # symmetry mirror loss (ppo.py:317-348)
         if self.symmetry is not None:
             if aug_fn is None:
+                # mirror/logging-only mode: augment now and run the actor on it
                 aug_fn = self.symmetry["data_augmentation_func"]
                 obs_batch, _ = aug_fn(obs=obs_batch, actions=None, env=self.symmetry["_env"])
                 num_aug = next(iter(obs_batch.values())).shape[0] // original_batch
-            mean_actions, _ = policy.act_inference(
-                ps, jax.tree.map(jax.lax.stop_gradient, obs_batch), ()
-            )
+                mean_actions, _ = policy.act_inference(
+                    ps, jax.tree.map(jax.lax.stop_gradient, obs_batch), ()
+                )
+            else:
+                # data augmentation already ran: act_seq's mean above covers
+                # the full augmented batch with identical params/normalization,
+                # so reuse it instead of paying a second actor forward+backward
+                mean_actions = mean
             action_mean_orig = mean_actions[:original_batch]
             _, actions_mean_symm = aug_fn(
                 obs=None, actions=action_mean_orig, env=self.symmetry["_env"]

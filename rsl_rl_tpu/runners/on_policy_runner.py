@@ -44,6 +44,15 @@ from rsl_rl_tpu.utils.resolvers import resolve_obs_groups
 from rsl_rl_tpu.utils.writers import make_writer
 
 
+def _resolve_device(device):
+    """Map None / a jax.Device / a string like "cpu" or "tpu:0" to a device."""
+    if device is None or not isinstance(device, str):
+        return device
+    kind, _, idx = device.partition(":")
+    matches = jax.devices(kind) if kind else jax.devices()
+    return matches[int(idx) if idx else 0]
+
+
 def _blocking(fn):
     """Wrap a dispatch so it waits for its outputs (see CPU note in __init__)."""
 
@@ -61,7 +70,9 @@ class OnPolicyRunner:
     training_type = "rl"
 
     def __init__(self, env: VecEnv, train_cfg: dict, log_dir: str | None = None, device=None):
-        self.cfg = train_cfg
+        # shallow-copy so the caller's config template is never mutated (the
+        # runner writes resolved obs_groups back into its own copy below)
+        self.cfg = dict(train_cfg)
         self.alg_cfg = dict(train_cfg["algorithm"])
         self.policy_cfg = dict(train_cfg["policy"])
         self.env = env
@@ -80,11 +91,7 @@ class OnPolicyRunner:
         if device is None:
             self.mesh = make_mesh()
         else:
-            if isinstance(device, str):
-                kind, _, idx = device.partition(":")
-                matches = [d for d in jax.devices(kind)] if kind else jax.devices()
-                device = matches[int(idx) if idx else 0]
-            self.mesh = make_mesh([device])
+            self.mesh = make_mesh([_resolve_device(device)])
         self.num_devices = len(self.mesh.devices.flatten()) if self.is_jax_env else 1
         if env.num_envs % self.num_devices != 0:
             raise ValueError(
@@ -447,12 +454,21 @@ class OnPolicyRunner:
         """Return a deterministic policy callable ``obs_dict -> action``
         (reference on_policy_runner.py:326-330). For recurrent policies the
         returned callable keeps its hidden state internally; call its
-        ``.reset(dones)`` between episodes."""
+        ``.reset(dones)`` between episodes. ``device`` (a jax.Device or a
+        string like ``"cpu"``/``"tpu:0"``) pins the inference computation."""
         policy = self.alg.policy
         ps = self.train_state.policy
+        target = _resolve_device(device)
+        if target is not None:
+            ps = jax.device_put(ps, target)
 
         infer = jax.jit(lambda ps_, obs, carry: policy.act_inference(ps_, obs, carry))
-        carry_holder = {"carry": policy.initial_carry(self.env.num_envs)}
+
+        def _fresh_carry():
+            carry = policy.initial_carry(self.env.num_envs)
+            return jax.device_put(carry, target) if target is not None else carry
+
+        carry_holder = {"carry": _fresh_carry()}
 
         def policy_fn(obs):
             action, carry_holder["carry"] = infer(ps, obs, carry_holder["carry"])
@@ -460,7 +476,7 @@ class OnPolicyRunner:
 
         def reset(dones=None):
             if dones is None:
-                carry_holder["carry"] = policy.initial_carry(self.env.num_envs)
+                carry_holder["carry"] = _fresh_carry()
             else:
                 carry_holder["carry"] = policy.reset_carry(carry_holder["carry"], dones)
 

@@ -129,3 +129,29 @@ class TestSymmetryTraining:
         }
         with pytest.raises(NotImplementedError):
             OnPolicyRunner(env, cfg, log_dir=None)
+
+
+class TestRecurrentSymmetryGate:
+    def test_logging_only_symmetry_rejected_for_recurrent(self):
+        """Even logging-only symmetry configs must be rejected for recurrent
+        policies (the mirror-loss block can't replay a [T, nb] batch through
+        the stateful single-step act_inference)."""
+        import jax
+        import jax.numpy as jnp
+
+        from rsl_rl_tpu.algorithms.ppo import PPO
+        from rsl_rl_tpu.modules import ActorCriticRecurrent
+
+        policy = ActorCriticRecurrent(
+            {"policy": jnp.zeros((4, 3))},
+            {"policy": ["policy"], "critic": ["policy"]},
+            1,
+            rnn_type="gru", rnn_hidden_dim=8,
+            actor_hidden_dims=[8], critic_hidden_dims=[8],
+        )
+        with pytest.raises(NotImplementedError, match="recurrent"):
+            PPO(policy, symmetry_cfg={
+                "use_data_augmentation": False,
+                "use_mirror_loss": False,
+                "data_augmentation_func": "rsl_rl_tpu.env.toy:point_mass_symmetry",
+            })
