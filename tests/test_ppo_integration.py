@@ -347,3 +347,23 @@ class TestConfigReuse:
         rnd_runner = OnPolicyRunner(PointMass(num_envs=4), rnd_cfg, log_dir=None)
         with pytest.raises(ValueError, match="no RND state"):
             rnd_runner.load(ckpt)
+
+
+class TestInferencePolicy:
+    def test_device_pinned_inference(self):
+        from rsl_rl_tpu.env import PointMass
+
+        cfg = {
+            "num_steps_per_env": 8, "save_interval": 100, "seed": 1,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                       "critic_hidden_dims": [16]},
+            "algorithm": {"class_name": "PPO"},
+        }
+        runner = OnPolicyRunner(PointMass(num_envs=4), cfg, log_dir=None)
+        target = jax.devices("cpu")[-1]
+        policy = runner.get_inference_policy(device=f"cpu:{len(jax.devices('cpu')) - 1}")
+        _, obs = runner.env.reset(jax.random.PRNGKey(0))
+        action = policy(obs)
+        assert action.shape == (4, 1)
+        assert target in action.devices()
