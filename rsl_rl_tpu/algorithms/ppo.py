@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from rsl_rl_tpu.modules import symmetry
 from rsl_rl_tpu.modules.policy import PolicyState
 from rsl_rl_tpu.modules.rnd import RandomNetworkDistillation, RNDState
 from rsl_rl_tpu.ops import distributions
@@ -206,14 +207,6 @@ class PPO:
                 raise ValueError(
                     "Data augmentation enabled but the function is not callable:"
                     f" {symmetry_cfg['data_augmentation_func']}"
-                )
-            if policy.is_recurrent:
-                # (the reference would also misbehave here: its symmetry block
-                # feeds the whole [T, nb] replay batch through the stateful
-                # single-step act_inference, ppo.py:317-348)
-                raise NotImplementedError(
-                    "Symmetry configs (including logging-only) are not supported with"
-                    " recurrent policies yet."
                 )
             self.symmetry = symmetry_cfg
 
@@ -493,10 +486,11 @@ class PPO:
                     ("mu", rollout.mu),
                     ("sigma", rollout.sigma),
                 ]
-                widths, flats = [], []
+                widths, trails, flats = [], [], []
                 for _, v in columns:
                     flat = v.reshape(T * N, -1)
                     widths.append(flat.shape[1])
+                    trails.append(v.shape[2:])  # original trailing shape
                     flats.append(flat)
                 packed = jnp.concatenate(flats, axis=-1)[perm]
 
@@ -504,11 +498,17 @@ class PPO:
 
                 def unpack(rows):
                     """Split a packed row block back into the batch dict;
-                    scalar fields are squeezed to [B]."""
+                    scalar fields are squeezed to [B], multi-dim fields (e.g.
+                    image obs groups) get their trailing shape restored."""
                     out, off = {}, 0
-                    for (name, _), w in zip(columns, widths):
+                    for (name, _), w, trail in zip(columns, widths, trails):
                         col = rows[:, off : off + w]
-                        out[name] = col[:, 0] if name in _scalar_fields else col
+                        if name in _scalar_fields:
+                            out[name] = col[:, 0]
+                        elif len(trail) > 1:
+                            out[name] = col.reshape((col.shape[0],) + trail)
+                        else:
+                            out[name] = col
                         off += w
                     return {
                         "obs": {k: out["obs." + k] for k in obs_keys},
@@ -600,7 +600,9 @@ class PPO:
 
         Shapes: feedforward batches are ``[B, ...]``; recurrent batches are
         ``[T, nb, ...]`` and the policy replays them through its memory. All
-        reductions are global means, so the same code serves both.
+        reductions are global means, so the same code serves both — symmetry
+        augmentation stacks copies along the batch axis (axis 1 when
+        time-major; see modules/symmetry.py).
         """
         policy = self.policy
         ps = policy_state.replace(params=params)
@@ -620,31 +622,43 @@ class PPO:
             adv_std = jnp.std(advantages_batch, ddof=1)
             advantages_batch = (advantages_batch - adv_mean) / (adv_std + 1e-8)
 
-        original_batch = actions_batch.shape[0]
+        time_major = policy.is_recurrent
+        original_batch = actions_batch.shape[1 if time_major else 0]
+
+        def first(x):
+            """The original (non-augmented) part of a batch array."""
+            return x[:, :original_batch] if time_major else x[:original_batch]
+
+        def rest(x):
+            """The augmented copies of a batch array."""
+            return x[:, original_batch:] if time_major else x[original_batch:]
+
         num_aug = 1
         aug_fn = None
         if self.symmetry is not None and self.symmetry["use_data_augmentation"]:
             # symmetry data augmentation (reference ppo.py:226-244)
             aug_fn = self.symmetry["data_augmentation_func"]
-            obs_batch, actions_batch = aug_fn(
-                obs=obs_batch, actions=actions_batch, env=self.symmetry["_env"]
+            obs_batch, actions_batch, num_aug = symmetry.apply_augmentation(
+                aug_fn, self.symmetry["_env"], obs_batch, actions_batch, time_major
             )
-            num_aug = actions_batch.shape[0] // original_batch
-            old_logp = jnp.tile(old_logp, (num_aug,))
-            target_values = jnp.tile(target_values, (num_aug,))
-            advantages_batch = jnp.tile(advantages_batch, (num_aug,))
-            returns_batch = jnp.tile(returns_batch, (num_aug,))
+            old_logp = symmetry.tile_batch(old_logp, num_aug, time_major)
+            target_values = symmetry.tile_batch(target_values, num_aug, time_major)
+            advantages_batch = symmetry.tile_batch(advantages_batch, num_aug, time_major)
+            returns_batch = symmetry.tile_batch(returns_batch, num_aug, time_major)
+            if time_major:
+                resets = symmetry.tile_batch(resets, num_aug, True)
+                batch_carry0 = symmetry.tile_carry(batch_carry0, num_aug)
 
         mean, std = policy.act_seq(ps, obs_batch, batch_carry0, resets)
         logp = distributions.log_prob(mean, std, actions_batch)
         value = policy.value_seq(ps, obs_batch, batch_carry0, resets)
-        entropy = distributions.entropy(std[:original_batch])
+        entropy = distributions.entropy(first(std))
 
         # analytic KL on the original (non-augmented) part (ppo.py:260-269)
         kl = distributions.kl_divergence(
-            old_mu[:original_batch], old_sigma[:original_batch],
-            jax.lax.stop_gradient(mean[:original_batch]),
-            jax.lax.stop_gradient(std[:original_batch]),
+            first(old_mu), first(old_sigma),
+            jax.lax.stop_gradient(first(mean)),
+            jax.lax.stop_gradient(first(std)),
         )
         kl_mean = jnp.mean(kl)
 
@@ -686,24 +700,32 @@ class PPO:
             if aug_fn is None:
                 # mirror/logging-only mode: augment now and run the actor on it
                 aug_fn = self.symmetry["data_augmentation_func"]
-                obs_batch, _ = aug_fn(obs=obs_batch, actions=None, env=self.symmetry["_env"])
-                num_aug = next(iter(obs_batch.values())).shape[0] // original_batch
-                mean_actions, _ = policy.act_inference(
-                    ps, jax.tree.map(jax.lax.stop_gradient, obs_batch), ()
+                obs_batch, _, num_aug = symmetry.apply_augmentation(
+                    aug_fn, self.symmetry["_env"], obs_batch, None, time_major
                 )
+                obs_sg = jax.tree.map(jax.lax.stop_gradient, obs_batch)
+                if time_major:
+                    mean_actions, _ = policy.act_seq(
+                        ps,
+                        obs_sg,
+                        symmetry.tile_carry(batch_carry0, num_aug),
+                        symmetry.tile_batch(resets, num_aug, True),
+                    )
+                else:
+                    mean_actions, _ = policy.act_inference(ps, obs_sg, ())
             else:
                 # data augmentation already ran: act_seq's mean above covers
                 # the full augmented batch with identical params/normalization,
                 # so reuse it instead of paying a second actor forward+backward
                 mean_actions = mean
-            action_mean_orig = mean_actions[:original_batch]
-            _, actions_mean_symm = aug_fn(
-                obs=None, actions=action_mean_orig, env=self.symmetry["_env"]
+            action_mean_orig = first(mean_actions)
+            _, actions_mean_symm, _ = symmetry.apply_augmentation(
+                aug_fn, self.symmetry["_env"], None, action_mean_orig, time_major
             )
             symmetry_loss = jnp.mean(
                 jnp.square(
-                    mean_actions[original_batch:]
-                    - jax.lax.stop_gradient(actions_mean_symm[original_batch:])
+                    rest(mean_actions)
+                    - jax.lax.stop_gradient(rest(actions_mean_symm))
                 )
             )
             if self.symmetry["use_mirror_loss"]:
@@ -714,7 +736,7 @@ class PPO:
 
         # RND predictor loss on the original batch (ppo.py:350-363)
         if self.rnd is not None:
-            orig_obs = jax.tree.map(lambda x: x[:original_batch], obs_batch)
+            orig_obs = jax.tree.map(first, obs_batch)
             rnd_loss = self.rnd.predictor_loss(rnd_pred, rnd_state, orig_obs)
             loss = loss + rnd_loss
             aux["rnd"] = rnd_loss

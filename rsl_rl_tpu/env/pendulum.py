@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from rsl_rl_tpu.env.vec_env import VecEnv
+from rsl_rl_tpu.env.vec_env import VecEnv, as_episode_length
 from rsl_rl_tpu.utils.registry import register
 
 
@@ -41,7 +41,7 @@ class Pendulum(VecEnv):
 
     def __init__(self, num_envs: int, max_episode_length: int = 200, cfg: dict | None = None):
         self.num_envs = num_envs
-        self.max_episode_length = max_episode_length
+        self.max_episode_length = as_episode_length(max_episode_length)
         self.step_dt = self.dt
         self.cfg = cfg or {}
 

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from rsl_rl_tpu.env.vec_env import VecEnv
+from rsl_rl_tpu.env.vec_env import VecEnv, as_episode_length
 from rsl_rl_tpu.utils.registry import register
 
 
@@ -48,7 +48,7 @@ class SparseGoalReach(VecEnv):
         cfg: dict | None = None,
     ):
         self.num_envs = num_envs
-        self.max_episode_length = max_episode_length
+        self.max_episode_length = as_episode_length(max_episode_length)
         self.goal = jnp.array([goal_dist, goal_dist], jnp.float32)
         self.goal_radius = goal_radius
         self.step_dt = self.dt

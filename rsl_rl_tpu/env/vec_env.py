@@ -29,6 +29,7 @@ import abc
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 from flax import struct
 
 
@@ -50,12 +51,27 @@ class EnvState:
     episode_length: jax.Array
 
 
+def as_episode_length(value) -> int | jax.Array:
+    """Normalize a ``max_episode_length`` config value.
+
+    The reference contract allows a scalar *or a per-env tensor*
+    (reference vec_env.py:30-36); plain ints stay ints (static shapes), any
+    sequence/array becomes an ``[num_envs]`` int32 array that broadcasts
+    against ``episode_length`` in the timeout comparison.
+    """
+    if isinstance(value, int):
+        return value
+    return jnp.asarray(value, jnp.int32)
+
+
 class VecEnv(abc.ABC):
     """Abstract JAX vectorized environment."""
 
     num_envs: int
     num_actions: int
-    max_episode_length: int
+    #: scalar, or a per-env ``[num_envs]`` int32 array
+    #: (reference vec_env.py:30-36 allows both)
+    max_episode_length: int | jax.Array
     cfg: Any = None
 
     @abc.abstractmethod
@@ -80,8 +96,14 @@ class VecEnv(abc.ABC):
 
     def randomize_episode_length(self, state: EnvState, key: jax.Array) -> EnvState:
         """Scatter initial episode lengths for exploration
-        (``init_at_random_ep_len``, reference on_policy_runner.py:66-69)."""
-        lengths = jax.random.randint(
-            key, (self.num_envs,), 0, int(self.max_episode_length)
+        (``init_at_random_ep_len``, reference on_policy_runner.py:66-69).
+
+        Supports per-env limits: each env draws uniformly in
+        ``[0, max_episode_length_i)``.
+        """
+        maxlen = jnp.broadcast_to(
+            jnp.asarray(self.max_episode_length, jnp.int32), (self.num_envs,)
         )
+        u = jax.random.uniform(key, (self.num_envs,))
+        lengths = jnp.floor(u * maxlen.astype(jnp.float32)).astype(jnp.int32)
         return state.replace(episode_length=lengths)

@@ -101,7 +101,7 @@ class Memory(nn.Module):
         )
 
         B = xs.shape[1]
-        if self.num_layers == 1 and supports_pallas_rnn(B, self.hidden_size):
+        if self.num_layers == 1 and supports_pallas_rnn(B, self.hidden_size, self.rnn_type):
             if self.rnn_type.lower() == "gru":
                 return gru_sequence(params["cell_0"], carry0[0], xs, resets)
             return lstm_sequence(params["cell_0"], carry0[0], xs, resets)

@@ -43,12 +43,34 @@ def _pick_block_b(batch: int, max_bb: int = 512) -> int | None:
     return None
 
 
-def supports_pallas_rnn(batch: int, hidden: int) -> bool:
-    """Shape gate for the fused kernels (fall back to the scan otherwise)."""
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # ~16 MiB/core, leave pipeline headroom
+
+
+def _vmem_footprint_bytes(batch: int, hidden: int, gates: int) -> int:
+    """Conservative VMEM bound for the worst kernel of a sequence (the BPTT
+    backward): full-batch carry scratch, weight + weight-grad blocks, and
+    double-buffered streamed input/output blocks."""
+    bb = _pick_block_b(batch, max_bb=256) or 128
+    carry_scratch = (2 if gates == 4 else 1) * batch * hidden
+    weight_blocks = 2 * hidden * gates * hidden
+    streamed = 2 * (2 * bb * gates * hidden + 6 * bb * hidden)
+    return 4 * (carry_scratch + weight_blocks + streamed)
+
+
+def supports_pallas_rnn(batch: int, hidden: int, rnn_type: str = "lstm") -> bool:
+    """Shape gate for the fused kernels (fall back to the scan otherwise).
+
+    Besides backend and 128-alignment, bounds the estimated VMEM footprint:
+    the kernels allocate full-batch ``(B, H)`` carry scratch, so an oversized
+    minibatch x hidden product (e.g. B=8192, H=512) must take the
+    ``memory_sequence`` fallback instead of failing at compile time.
+    """
+    gates = 3 if rnn_type.lower() == "gru" else 4
     return (
         jax.default_backend() == "tpu"
         and hidden % 128 == 0
         and _pick_block_b(batch) is not None
+        and _vmem_footprint_bytes(batch, hidden, gates) <= _VMEM_BUDGET_BYTES
     )
 
 

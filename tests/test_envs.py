@@ -21,7 +21,15 @@ ENVS = [
     lambda n: PointMass(num_envs=n, max_episode_length=50),
     lambda n: SparseGoalReach(num_envs=n, max_episode_length=50),
     lambda n: Reacher(num_envs=n, max_episode_length=50),
+    # per-env heterogeneous time limits (reference vec_env.py:30-36 allows a
+    # scalar OR per-env tensor)
+    lambda n: Pendulum(num_envs=n, max_episode_length=20 + 7 * (np.arange(n) % 5)),
 ]
+
+
+def _horizon(env) -> int:
+    """Largest per-env time limit (handles scalar and per-env arrays)."""
+    return int(np.max(np.asarray(env.max_episode_length)))
 
 
 @pytest.mark.parametrize("make_env", ENVS)
@@ -52,18 +60,22 @@ class TestContract:
         state, obs = env.reset(jax.random.PRNGKey(0))
         step = jax.jit(env.step)
         saw_done = np.zeros(4, bool)
-        for _ in range(env.max_episode_length + 1):
+        for _ in range(_horizon(env) + 1):
             state, obs, rew, done, extras = step(state, jnp.zeros((4, env.num_actions)))
             saw_done |= np.asarray(done)
         assert saw_done.all()
-        assert (np.asarray(state.episode_length) <= env.max_episode_length).all()
+        assert (
+            np.asarray(state.episode_length)
+            <= np.asarray(env.max_episode_length)
+        ).all()
 
     def test_randomize_episode_length(self, make_env):
         env = make_env(64)
         state, _ = env.reset(jax.random.PRNGKey(0))
         state = env.randomize_episode_length(state, jax.random.PRNGKey(1))
         lengths = np.asarray(state.episode_length)
-        assert lengths.min() >= 0 and lengths.max() < env.max_episode_length
+        assert lengths.min() >= 0
+        assert (lengths < np.asarray(env.max_episode_length)).all()
         assert len(np.unique(lengths)) > 5  # actually randomized
 
     def test_autoreset_gives_fresh_obs(self, make_env):
@@ -73,7 +85,7 @@ class TestContract:
         state, obs0 = env.reset(jax.random.PRNGKey(0))
         step = jax.jit(env.step)
         done = None
-        for _ in range(env.max_episode_length):
+        for _ in range(_horizon(env)):
             state, obs, rew, done, extras = step(state, jnp.zeros((3, env.num_actions)))
         assert np.asarray(done).any(), "no env finished within the time limit"
         # the step's returned obs is derived from the already-reset state
@@ -89,6 +101,53 @@ class TestContract:
         )
         # and the episode counter rewound for the done envs
         assert (np.asarray(state.episode_length)[np.asarray(done)] == 0).all()
+
+
+class TestPerEnvEpisodeLength:
+    """Per-env time limits (reference vec_env.py:30-36: scalar OR tensor)."""
+
+    def test_each_env_times_out_at_its_own_limit(self):
+        limits = np.array([3, 5, 8, 13])
+        env = Pendulum(num_envs=4, max_episode_length=limits)
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        for t in range(1, 14):
+            state, obs, rew, done, extras = step(state, jnp.zeros((4, 1)))
+            expected = (t % limits) == 0
+            np.testing.assert_array_equal(np.asarray(done), expected, err_msg=f"step {t}")
+            # Pendulum has no terminal states: every done is a timeout,
+            # so the bootstrap flag must track the per-env limit too
+            np.testing.assert_array_equal(np.asarray(extras["time_outs"]), expected)
+
+    def test_trains_with_heterogeneous_limits(self):
+        """The timeout bootstrap path handles per-env limits inside the
+        fused collect scan (reference ppo.py:160-164)."""
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        env = Pendulum(num_envs=8, max_episode_length=10 + 3 * np.arange(8))
+        cfg = {
+            "num_steps_per_env": 8,
+            "save_interval": 1000,
+            "seed": 1,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "policy": {
+                "class_name": "ActorCritic",
+                "actor_hidden_dims": [16],
+                "critic_hidden_dims": [16],
+            },
+            "algorithm": {
+                "class_name": "PPO",
+                "num_learning_epochs": 2,
+                "num_mini_batches": 2,
+            },
+        }
+        runner = OnPolicyRunner(env, cfg, log_dir=None)
+        ts, cs = runner.train_state, runner.collect_state
+        for _ in range(3):
+            ts, cs, rollout, cm = runner._collect(ts, cs)
+            ts, cs, um = runner._update(ts, cs, rollout)
+        assert np.isfinite(float(um["Loss/value_function"]))
+        assert float(cm["ep_count"]) > 0  # short-limit envs finished episodes
 
 
 class TestPendulumPhysics:

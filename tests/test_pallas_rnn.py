@@ -84,3 +84,21 @@ class TestBackward:
             want,
             got,
         )
+
+
+class TestVmemGate:
+    """The shape gate must bound the kernels' full-batch VMEM scratch
+    (ADVICE r1: B=8192, H=512 would exceed VMEM at compile time)."""
+
+    def test_oversized_batch_hidden_rejected(self):
+        from rsl_rl_tpu.ops.pallas_rnn import _vmem_footprint_bytes, _VMEM_BUDGET_BYTES
+
+        assert _vmem_footprint_bytes(8192, 512, gates=4) > _VMEM_BUDGET_BYTES
+        assert _vmem_footprint_bytes(8192, 512, gates=3) > _VMEM_BUDGET_BYTES
+
+    def test_typical_shapes_admitted(self):
+        from rsl_rl_tpu.ops.pallas_rnn import _vmem_footprint_bytes, _VMEM_BUDGET_BYTES
+
+        # the round-1 TPU bench config (512 envs / 4 minibatches, H=256)
+        assert _vmem_footprint_bytes(128, 256, gates=4) <= _VMEM_BUDGET_BYTES
+        assert _vmem_footprint_bytes(1024, 256, gates=3) <= _VMEM_BUDGET_BYTES
