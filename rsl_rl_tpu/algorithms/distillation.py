@@ -62,13 +62,14 @@ class Distillation:
         self.max_grad_norm = max_grad_norm
 
         if loss_type == "mse":
-            self.loss_fn = lambda a, b: jnp.mean(jnp.square(a - b))
+            self._elem_loss = lambda a, b: jnp.square(a - b)
         elif loss_type == "huber":
-            self.loss_fn = lambda a, b: jnp.mean(optax.huber_loss(a, b, delta=1.0))
+            self._elem_loss = lambda a, b: optax.huber_loss(a, b, delta=1.0)
         else:
             raise ValueError(
                 f"Unknown loss type: {loss_type}. Supported types are: ['mse', 'huber']"
             )
+        self.loss_fn = lambda a, b: jnp.mean(self._elem_loss(a, b))
 
         direction = resolve_optimizer(optimizer)()
         if max_grad_norm:
@@ -232,9 +233,27 @@ class Distillation:
 
     # ---------------------------------------------------------------- update
 
+    # Above this many gradient segments the chunked replay is built with a
+    # lax.scan over per-step cells instead of Python-unrolled fused windows,
+    # trading kernel fusion for bounded compile time.
+    MAX_UNROLLED_SEGMENTS = 32
+
     def make_update_fn(self) -> Callable:
         """Sequential replay with gradient steps every ``gradient_length``
-        steps (reference distillation.py:105-151)."""
+        steps (reference distillation.py:105-151).
+
+        Two equivalent implementations (same math, verified by
+        tests/test_distillation.py::TestChunkedReplayEquivalence):
+
+        - **chunked** (default): the segment between optimizer steps is
+          replayed as whole sub-windows through ``policy.student_seq`` — one
+          fused Pallas memory call + one batched student-head matmul per
+          chunk (chunks split segments at epoch boundaries, where the carry
+          rewinds to the window start). This kills the 12x-off-roofline cost
+          of per-step RNN cells on TPU.
+        - **per-step scan**: the round-1 formulation, kept for configs with
+          very many segments where unrolling would blow up compile time.
+        """
         policy = self.policy
         G = self.gradient_length
 
@@ -244,6 +263,11 @@ class Distillation:
             num_segments = total_steps // G
             resets = rollout.replay_resets()  # [T, N]
             carry0 = rollout.carry0 if policy.is_recurrent else ()
+
+            if num_segments <= self.MAX_UNROLLED_SEGMENTS:
+                return self._update_chunked(
+                    ts, cs, rollout, resets, carry0, total_steps, num_segments
+                )
 
             def replay_step(params, pol_carry, s):
                 """One BPTT replay step at global step ``s`` (epoch-flattened)."""
@@ -321,3 +345,106 @@ class Distillation:
             return ts, cs, metrics
 
         return update
+
+    # ------------------------------------------------------- chunked replay
+
+    def _per_step_loss(self, actions: jax.Array, targets: jax.Array) -> jax.Array:
+        """Per-timestep loss means for a ``[g, N, A]`` chunk -> ``[g]``
+        (Σ over the chunk equals the per-step path's accumulated loss)."""
+        err = self._elem_loss(actions, targets)
+        return jnp.mean(err, axis=tuple(range(1, err.ndim)))
+
+    def _update_chunked(
+        self, ts: TrainState, cs: CollectState, rollout: Rollout,
+        resets: jax.Array, carry0, total_steps: int, num_segments: int,
+    ):
+        """Whole-window replay via ``policy.student_seq`` (see make_update_fn).
+
+        Global replay step ``s`` (epoch-flattened) maps to window step
+        ``t = s % T``; each gradient segment ``[seg*G, (seg+1)*G)`` is split
+        at epoch boundaries (``t == 0``, where the carry rewinds to the
+        window-start ``carry0``, reference distillation.py:112) into chunks of
+        contiguous ``t``, each replayed as one fused sub-window. Numerically
+        equivalent to the per-step path (same resets, same rewinds, same
+        optimizer-step positions, reference distillation.py:105-151).
+        """
+        policy = self.policy
+        G = self.gradient_length
+        T = rollout.num_steps
+
+        def chunks_between(s0: int, s1: int) -> list[tuple[int, int]]:
+            out, s = [], s0
+            while s < s1:
+                t = s % T
+                n = min(s1 - s, T - t)
+                out.append((t, t + n))
+                s += n
+            return out
+
+        def replay_chunks(params, carry, chunk_list):
+            ps = ts.policy.replace(params=params)
+            losses = []
+            for t0, t1 in chunk_list:
+                if t0 == 0:
+                    # epoch boundary: rewind to the window-start carry
+                    carry = jax.tree.map(jax.lax.stop_gradient, carry0)
+                obs_c = jax.tree.map(lambda x: x[t0:t1], rollout.obs)
+                actions, carry = policy.student_seq(ps, obs_c, carry, resets[t0:t1])
+                losses.append(
+                    self._per_step_loss(actions, rollout.privileged_actions[t0:t1])
+                )
+            return jnp.concatenate(losses) if losses else jnp.zeros((0,)), carry
+
+        def seg_loss(params, carry, chunk_list):
+            losses, carry = replay_chunks(params, carry, chunk_list)
+            return jnp.sum(losses), (carry, losses)
+
+        params, opt_state = ts.policy.params, ts.opt_state
+        carry = jax.tree.map(jax.lax.stop_gradient, carry0)
+        all_losses = []
+        for seg in range(num_segments):  # static unroll (gated by caller)
+            chunk_list = chunks_between(seg * G, (seg + 1) * G)
+            (_, (carry, losses)), grads = jax.value_and_grad(
+                seg_loss, has_aux=True
+            )(params, carry, chunk_list)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(
+                params, jax.tree.map(lambda u: -self.learning_rate * u, updates)
+            )
+            # detach hidden between segments (reference distillation.py:136)
+            carry = jax.lax.stop_gradient(carry)
+            all_losses.append(losses)
+
+        # trailing steps that never fill a gradient segment still advance the
+        # hidden state and count toward the logged mean
+        # (reference distillation.py:114-126 counts every step)
+        tail_chunks = chunks_between(num_segments * G, total_steps)
+        if tail_chunks:
+            losses, carry = replay_chunks(params, carry, tail_chunks)
+            all_losses.append(jax.lax.stop_gradient(losses))
+            carry = jax.lax.stop_gradient(carry)
+
+        if policy.is_recurrent and getattr(policy, "teacher_recurrent", False):
+            # the per-step path masks the (rewound) teacher carry at every
+            # replayed reset (reset_carry touches both memories, mirroring the
+            # reference's policy.reset during replay); student_seq leaves the
+            # teacher untouched, so apply the accumulated mask since the last
+            # epoch rewind
+            from rsl_rl_tpu.networks.memory import mask_carry
+
+            t_end = ((total_steps - 1) % T) + 1
+            acc = jnp.any(resets[:t_end], axis=0)
+            carry = {**carry, "teacher": mask_carry(carry0["teacher"], acc)}
+
+        ts = ts.replace(
+            policy=ts.policy.replace(params=params),
+            opt_state=opt_state,
+            it=ts.it + 1,
+        )
+        # the policy's acting hidden continues from the end of the replay
+        # (reference leaves memory_s at the replay-end state after update)
+        if policy.is_recurrent:
+            cs = cs.replace(carry=carry)
+
+        metrics = {"Loss/behavior": jnp.mean(jnp.concatenate(all_losses))}
+        return ts, cs, metrics

@@ -49,6 +49,12 @@ def _remap_teacher_norm(loaded_norm: dict, current_teacher_norm):
             f"{current_teacher_norm is not None}. Set teacher_obs_normalization to "
             "match how the teacher was trained."
         )
+    if loaded is not None and isinstance(loaded, dict):
+        # raw checkpoint state dict (orbax format): revive into the typed
+        # RunningNormState of the configured teacher normalizer
+        from flax import serialization
+
+        loaded = serialization.from_state_dict(current_teacher_norm, loaded)
     return loaded
 
 
@@ -168,6 +174,19 @@ class StudentTeacher:
     def act_inference(self, ps: PolicyState, obs, carry: Any = ()):
         mean = self.student.apply({"params": ps.params["student"]}, self._student_in(ps, obs))
         return mean, carry
+
+    def student_seq(self, ps: PolicyState, obs, carry0, resets):
+        """Student actions for a whole time-major ``[T, N, ...]`` window.
+
+        The batched replay primitive of the distillation update: for the
+        feedforward student this is one batched forward (time folds into the
+        batch); the recurrent subclass overrides it with the fused memory
+        replay. Returns ``(actions [T, N, A], carry_after)``; the carry is
+        value-only (truncated BPTT detaches it at segment boundaries,
+        reference distillation.py:136).
+        """
+        mean = self.student.apply({"params": ps.params["student"]}, self._student_in(ps, obs))
+        return mean, carry0
 
     # -------------------------------------------------------- normalization
 

@@ -143,6 +143,18 @@ class StudentTeacherRecurrent(StudentTeacher):
         mean = self.student.apply({"params": ps.params["student"]}, features)
         return mean, {**carry, "student": new_s}
 
+    def student_seq(self, ps: PolicyState, obs, carry0, resets):
+        """Whole-window student replay through the memory (fused Pallas path
+        on TPU when the shape gate admits; see Memory.sequence_with_carry).
+        The teacher carry passes through untouched — the replay only drives
+        the student (reference distillation.py:111-141)."""
+        x = self._student_in(ps, obs)
+        features, final_s = self.memory_s.sequence_with_carry(
+            ps.params["memory_s"], carry0["student"], x, resets
+        )
+        mean = self.student.apply({"params": ps.params["student"]}, features)
+        return mean, {**carry0, "student": final_s}
+
     # ---------------------------------------------------------- checkpoint
 
     def load_state_dict(self, ps: PolicyState, loaded: Any) -> tuple[PolicyState, bool]:

@@ -89,24 +89,47 @@ class Memory(nn.Module):
     def sequence(self, params: Any, carry0: Any, xs: jax.Array, resets: jax.Array) -> jax.Array:
         """BPTT replay of a whole window with done-masked resets.
 
-        Dispatches to the fused Pallas GRU kernel on TPU when the shape gate
-        admits it (single-layer GRU, 128-aligned hidden/batch); otherwise runs
-        the generic time-major scan (``memory_sequence``). Both paths are
-        numerically identical (tests/test_pallas_rnn.py).
+        Dispatches to the fused Pallas kernels on TPU when the shape gate
+        admits it (128-aligned hidden/batch, VMEM-bounded); multi-layer stacks
+        run layer-by-layer, each layer one fused full-window call (layer k+1
+        consumes layer k's output sequence — identical math to the stacked
+        per-step scan). Otherwise runs the generic time-major scan
+        (``memory_sequence``). All paths are numerically identical
+        (tests/test_pallas_rnn.py).
+        """
+        return self.sequence_with_carry(params, carry0, xs, resets)[0]
+
+    def sequence_with_carry(
+        self, params: Any, carry0: Any, xs: jax.Array, resets: jax.Array
+    ) -> tuple[jax.Array, Any]:
+        """:meth:`sequence` that also returns the carry after the last step.
+
+        The returned carry is VALUE-ONLY (``stop_gradient``-wrapped on the
+        Pallas path) — it exists for truncated-BPTT replay, which detaches the
+        carry at segment boundaries (reference distillation.py:136); do not
+        differentiate through it.
         """
         from rsl_rl_tpu.ops.pallas_rnn import (
-            gru_sequence,
-            lstm_sequence,
+            gru_sequence_with_carry,
+            lstm_sequence_with_carry,
             supports_pallas_rnn,
         )
 
         B = xs.shape[1]
-        if self.num_layers == 1 and supports_pallas_rnn(B, self.hidden_size, self.rnn_type):
-            if self.rnn_type.lower() == "gru":
-                return gru_sequence(params["cell_0"], carry0[0], xs, resets)
-            return lstm_sequence(params["cell_0"], carry0[0], xs, resets)
+        if supports_pallas_rnn(B, self.hidden_size, self.rnn_type):
+            out = xs
+            finals = []
+            for layer in range(self.num_layers):
+                p = params[f"cell_{layer}"]
+                if self.rnn_type.lower() == "gru":
+                    out, final = gru_sequence_with_carry(p, carry0[layer], out, resets)
+                else:
+                    out, final = lstm_sequence_with_carry(p, carry0[layer], out, resets)
+                finals.append(final)
+            return out, tuple(finals)
         apply_step = lambda c, x: self.apply({"params": params}, c, x)
-        return memory_sequence(apply_step, carry0, xs, resets)
+        final_carry, outs = memory_sequence_with_carry(apply_step, carry0, xs, resets)
+        return outs, jax.lax.stop_gradient(final_carry)
 
 
 def mask_carry(carry: Any, reset_mask: jax.Array) -> Any:
@@ -150,3 +173,21 @@ def memory_sequence(
 
     _, outs = jax.lax.scan(body, carry0, (xs, resets))
     return outs
+
+
+def memory_sequence_with_carry(
+    apply_step,
+    carry0: Any,
+    xs: jax.Array,
+    resets: jax.Array,
+) -> tuple[Any, jax.Array]:
+    """:func:`memory_sequence` that also returns the final carry
+    (scan-native: ``(final_carry, outs)``)."""
+
+    def body(carry, step):
+        x, reset = step
+        carry = mask_carry(carry, reset)
+        carry, out = apply_step(carry, x)
+        return carry, out
+
+    return jax.lax.scan(body, carry0, (xs, resets))

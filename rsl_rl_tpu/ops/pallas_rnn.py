@@ -569,16 +569,21 @@ def _lstm_core_bwd_impl(wh, bh, c0, h0, xproj, resets, hs, cs, ghs):
 
 @jax.custom_vjp
 def _lstm_core(wh, bh, c0, h0, xproj, resets):
-    hs, _ = _lstm_core_fwd_impl(wh, bh, c0, h0, xproj, resets)
-    return hs
+    """Returns ``(hs, cT)``. ``cT`` (the final cell state) is VALUE-ONLY: its
+    cotangent is ignored by the VJP. Public callers get it wrapped in
+    ``stop_gradient`` — it exists for truncated-BPTT replay, which detaches
+    the carry at segment boundaries anyway (reference distillation.py:136)."""
+    hs, cs = _lstm_core_fwd_impl(wh, bh, c0, h0, xproj, resets)
+    return hs, cs[-1]
 
 
 def _lstm_core_fwd(wh, bh, c0, h0, xproj, resets):
     hs, cs = _lstm_core_fwd_impl(wh, bh, c0, h0, xproj, resets)
-    return hs, (wh, bh, c0, h0, xproj, resets, hs, cs)
+    return (hs, cs[-1]), (wh, bh, c0, h0, xproj, resets, hs, cs)
 
 
-def _lstm_core_bwd(res, ghs):
+def _lstm_core_bwd(res, g):
+    ghs, _gcT = g  # cT output is value-only (see _lstm_core docstring)
     wh, bh, c0, h0, xproj, resets, hs, cs = res
     dxproj, dc0, dh0, dwh, dbh = _lstm_core_bwd_impl(
         wh, bh, c0, h0, xproj, resets, hs, cs, ghs
@@ -612,7 +617,7 @@ def lstm_sequence(
     bh = jnp.concatenate([cell_params[f"h{k}"]["bias"] for k in order])[None, :]
     H = wh.shape[0]
     c0, h0 = carry0
-    return _lstm_core(
+    hs, _ = _lstm_core(
         wh,
         bh,
         c0.astype(jnp.float32),
@@ -620,3 +625,41 @@ def lstm_sequence(
         xproj.reshape(T, B, 4 * H).astype(jnp.float32),
         resets.astype(jnp.float32).reshape(T, 1, B),
     )
+    return hs
+
+
+def lstm_sequence_with_carry(
+    cell_params: dict, carry0: tuple, xs: jax.Array, resets: jax.Array
+) -> tuple[jax.Array, tuple]:
+    """:func:`lstm_sequence` that also returns the final ``(c, h)`` carry.
+
+    The carry is VALUE-ONLY (wrapped in ``stop_gradient``) — intended for
+    truncated-BPTT replay, which detaches the carry at segment boundaries
+    (reference distillation.py:136)."""
+    T, B, _ = xs.shape
+    order = ("i", "f", "g", "o")
+    wi = jnp.concatenate([cell_params[f"i{k}"]["kernel"] for k in order], axis=1)
+    xproj = xs.reshape(T * B, -1) @ wi
+    wh = jnp.concatenate([cell_params[f"h{k}"]["kernel"] for k in order], axis=1)
+    bh = jnp.concatenate([cell_params[f"h{k}"]["bias"] for k in order])[None, :]
+    H = wh.shape[0]
+    c0, h0 = carry0
+    hs, cT = _lstm_core(
+        wh,
+        bh,
+        c0.astype(jnp.float32),
+        h0.astype(jnp.float32),
+        xproj.reshape(T, B, 4 * H).astype(jnp.float32),
+        resets.astype(jnp.float32).reshape(T, 1, B),
+    )
+    final = (jax.lax.stop_gradient(cT), jax.lax.stop_gradient(hs[-1]))
+    return hs, final
+
+
+def gru_sequence_with_carry(
+    cell_params: dict, carry0: jax.Array, xs: jax.Array, resets: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`gru_sequence` that also returns the final hidden state
+    (value-only, ``stop_gradient``-wrapped; see lstm_sequence_with_carry)."""
+    hs = gru_sequence(cell_params, carry0, xs, resets)
+    return hs, jax.lax.stop_gradient(hs[-1])

@@ -135,3 +135,71 @@ class TestDistillation:
             jax.device_get(runner.train_state.policy.params),
             jax.device_get(runner2.train_state.policy.params),
         )
+
+
+class TestChunkedReplayEquivalence:
+    """The chunked whole-window replay (fused Pallas on TPU) must be
+    numerically equivalent to the per-step-scan formulation: same per-step
+    losses, same post-update params, same replay-end carry."""
+
+    def _run(self, recurrent, force_per_step, teacher_recurrent=False,
+             rnn_type="gru", epochs=2, gradient_length=5):
+        import jax.numpy as jnp
+        from rsl_rl_tpu.algorithms.distillation import Distillation
+        from rsl_rl_tpu.modules import StudentTeacher, StudentTeacherRecurrent
+
+        env = PointMass(num_envs=8, max_episode_length=6)  # frequent resets
+        _, obs = env.reset(jax.random.PRNGKey(0))
+        groups = {"policy": ["policy"], "critic": ["policy"], "teacher": ["policy"]}
+        if recurrent:
+            policy = StudentTeacherRecurrent(
+                obs, groups, env.num_actions,
+                rnn_type=rnn_type, rnn_hidden_dim=8,
+                student_hidden_dims=[16], teacher_hidden_dims=[16],
+                teacher_recurrent=teacher_recurrent,
+            )
+        else:
+            policy = StudentTeacher(
+                obs, groups, env.num_actions,
+                student_hidden_dims=[16], teacher_hidden_dims=[16],
+            )
+        alg = Distillation(
+            policy, num_learning_epochs=epochs,
+            gradient_length=gradient_length, max_grad_norm=1.0,
+        )
+        if force_per_step:
+            alg.MAX_UNROLLED_SEGMENTS = -1  # instance override
+        ts = alg.init_train_state(jax.random.PRNGKey(1), env.num_envs)
+        cs = alg.init_collect_state(jax.random.PRNGKey(2), env)
+        collect = jax.jit(alg.make_collect_fn(env, 16))  # > episode length
+        update = jax.jit(alg.make_update_fn())
+        ts, cs, rollout, _ = collect(ts, cs)
+        ts, cs, um = update(ts, cs, rollout)
+        return ts, cs, float(um["Loss/behavior"])
+
+    @pytest.mark.parametrize("case", [
+        dict(recurrent=False),
+        dict(recurrent=True, rnn_type="gru"),
+        dict(recurrent=True, rnn_type="lstm"),
+        dict(recurrent=True, rnn_type="gru", teacher_recurrent=True),
+        # gradient_length not dividing epochs*T: exercises the tail chunks
+        dict(recurrent=True, rnn_type="gru", epochs=1, gradient_length=7),
+    ])
+    def test_paths_agree(self, case):
+        ts_a, cs_a, loss_a = self._run(force_per_step=False, **case)
+        ts_b, cs_b, loss_b = self._run(force_per_step=True, **case)
+        np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+        jax.tree_util.tree_map_with_path(
+            lambda p, a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+                err_msg=f"params mismatch at {jax.tree_util.keystr(p)}",
+            ),
+            ts_a.policy.params, ts_b.policy.params,
+        )
+        jax.tree_util.tree_map_with_path(
+            lambda p, a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+                err_msg=f"carry mismatch at {jax.tree_util.keystr(p)}",
+            ),
+            cs_a.carry, cs_b.carry,
+        )

@@ -102,3 +102,81 @@ class TestVmemGate:
         # the round-1 TPU bench config (512 envs / 4 minibatches, H=256)
         assert _vmem_footprint_bytes(128, 256, gates=4) <= _VMEM_BUDGET_BYTES
         assert _vmem_footprint_bytes(1024, 256, gates=3) <= _VMEM_BUDGET_BYTES
+
+
+class TestMultiLayer:
+    """Multi-layer stacks dispatch layer-by-layer fused calls; each layer
+    consumes the previous layer's full output sequence — identical math to
+    the stacked per-step scan (Memory.sequence_with_carry layer loop)."""
+
+    @pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
+    def test_two_layer_values_and_carry_match_scan(self, rnn_type):
+        from rsl_rl_tpu.networks.memory import memory_sequence_with_carry
+        from rsl_rl_tpu.ops.pallas_rnn import (
+            gru_sequence_with_carry,
+            lstm_sequence_with_carry,
+        )
+
+        mem = Memory(hidden_size=H, rnn_type=rnn_type, num_layers=2)
+        carry0 = mem.initialize_carry(B)
+        params = mem.init(jax.random.PRNGKey(2), carry0, jnp.zeros((B, H)))["params"]
+        rng = np.random.default_rng(3)
+        xs = jnp.asarray(rng.normal(size=(T, B, H)), jnp.float32)
+        resets = jnp.asarray(rng.random((T, B)) < 0.2)
+        resets = resets.at[0].set(False)
+
+        apply_step = lambda c, x: mem.apply({"params": params}, c, x)
+        want_carry, want = memory_sequence_with_carry(apply_step, carry0, xs, resets)
+
+        # replicate Memory.sequence_with_carry's pallas layer loop in
+        # interpret mode (the dispatch gate requires a real TPU backend)
+        with pltpu.force_tpu_interpret_mode():
+            out = xs
+            finals = []
+            for layer in range(2):
+                fn = gru_sequence_with_carry if rnn_type == "gru" else lstm_sequence_with_carry
+                out, final = fn(params[f"cell_{layer}"], carry0[layer], out, resets)
+                finals.append(final)
+
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5)
+        jax.tree_util.tree_map_with_path(
+            lambda p, a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+                err_msg=f"final carry mismatch at {jax.tree_util.keystr(p)}",
+            ),
+            tuple(finals), want_carry,
+        )
+
+    def test_two_layer_grads_match_scan(self):
+        from rsl_rl_tpu.networks.memory import memory_sequence
+        from rsl_rl_tpu.ops.pallas_rnn import gru_sequence
+
+        mem = Memory(hidden_size=H, rnn_type="gru", num_layers=2)
+        carry0 = mem.initialize_carry(B)
+        params = mem.init(jax.random.PRNGKey(4), carry0, jnp.zeros((B, H)))["params"]
+        rng = np.random.default_rng(5)
+        xs = jnp.asarray(rng.normal(size=(T, B, H)), jnp.float32)
+        resets = jnp.asarray(rng.random((T, B)) < 0.2)
+        resets = resets.at[0].set(False)
+
+        def loss_scan(params, xs):
+            apply_step = lambda c, x: mem.apply({"params": params}, c, x)
+            out = memory_sequence(apply_step, carry0, xs, resets)
+            return jnp.sum(out * jnp.cos(out))
+
+        def loss_pallas(params, xs):
+            out = xs
+            for layer in range(2):
+                out = gru_sequence(params[f"cell_{layer}"], carry0[layer], out, resets)
+            return jnp.sum(out * jnp.cos(out))
+
+        want = jax.grad(loss_scan, argnums=(0, 1))(params, xs)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_pallas, argnums=(0, 1))(params, xs)
+        jax.tree_util.tree_map_with_path(
+            lambda p, w, g: np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-5,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(p)}",
+            ),
+            want, got,
+        )
