@@ -269,7 +269,6 @@ class OnPolicyRunner:
             if self.log_dir is not None and not self.disable_logs:
                 self._log(it, start_iter, tot_iter, metrics, collection_time, learn_time)
                 if it % self.save_interval == 0:
-                    # periodic saves overlap serialization with training
                     self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"), block=False)
             if it == start_iter and self.log_dir is not None and not self.disable_logs:
                 git_file_paths = store_code_state(self.log_dir, self.git_status_repos)
@@ -360,6 +359,11 @@ class OnPolicyRunner:
             if name in ("kl", "learning_rate"):
                 continue
             log_string += f"""{f'Mean {name} loss:':>{pad}} {value:.4f}\n"""
+        if ep_count > 0 and "Rnd/weight" in metrics:
+            # extrinsic/intrinsic split in the console banner for RND runs
+            # (reference on_policy_runner.py:254-258)
+            log_string += f"""{'Mean extrinsic reward:':>{pad}} {mean_erew:.2f}\n"""
+            log_string += f"""{'Mean intrinsic reward:':>{pad}} {mean_irew:.2f}\n"""
         if ep_count > 0:
             log_string += f"""{'Mean reward:':>{pad}} {mean_reward:.2f}\n"""
             log_string += f"""{'Mean episode length:':>{pad}} {mean_ep_len:.2f}\n"""
@@ -407,10 +411,39 @@ class OnPolicyRunner:
 
     def load(self, path: str, load_optimizer: bool = True, map_location=None):
         """Restore a checkpoint; honors the resume-flag protocol
-        (reference on_policy_runner.py:307-324)."""
-        loaded = load_checkpoint(path)
+        (reference on_policy_runner.py:307-324).
+
+        The checkpoint holds pure state dicts (see utils/checkpoint.py);
+        entries are restored into the live state's types. The model entry
+        falls back to its raw state dict when it does not structurally match
+        the current policy — that is the teacher-bootstrap case, which
+        ``load_state_dict`` remaps itself (reference student_teacher.py:168-206).
+        """
+        from flax import serialization
+
         ts = self.train_state
-        new_policy, resumed = self.alg.policy.load_state_dict(ts.policy, loaded["model"])
+        loaded = load_checkpoint(path)
+        try:
+            loaded_model = serialization.from_state_dict(
+                ts.policy, loaded["model"], name="model"
+            )
+        except (KeyError, ValueError):
+            # structurally different model state: the teacher-bootstrap case —
+            # load_state_dict remaps the raw state dict itself
+            loaded_model = loaded["model"]
+        new_policy, resumed = self.alg.policy.load_state_dict(ts.policy, loaded_model)
+        if resumed:
+            # strict typed restore of the training-state extras; a structural
+            # mismatch here (e.g. changed optimizer config) must raise, not
+            # silently produce a raw-dict opt state that crashes inside jit
+            for key, tgt in (
+                ("opt_state", ts.opt_state),
+                ("lr", ts.lr),
+                ("rnd", ts.rnd),
+                ("rnd_opt_state", ts.rnd_opt_state),
+            ):
+                if tgt is not None and key in loaded and loaded[key] is not None:
+                    loaded[key] = serialization.from_state_dict(tgt, loaded[key], name=key)
         ts = ts.replace(policy=new_policy)
         if ts.rnd is not None and resumed:
             # resuming an RND run requires the RND state; restore it strictly

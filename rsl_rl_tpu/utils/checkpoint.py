@@ -1,83 +1,113 @@
-"""Checkpoint save/load for train-state pytrees.
+"""Checkpoint save/load for train-state pytrees (orbax-backed).
 
 Counterpart of the reference's ``torch.save``/``torch.load`` checkpointing
-(reference: rsl_rl/runners/on_policy_runner.py:289-324). A checkpoint is one
-file holding the typed state pytree with NumPy leaves:
-
-``{"model": PolicyState, "opt_state", "lr", "iter", "rnd", "rnd_opt_state",
-   "infos"}``
+(reference: rsl_rl/runners/on_policy_runner.py:289-324). A checkpoint is an
+orbax directory holding the *state dict* of the train state — typed pytrees
+(``PolicyState``, optax states, ``RunningNormState``) are converted to pure
+nested dicts of arrays via ``flax.serialization`` before writing, exactly like
+torch's ``state_dict()`` convention. Nothing in the format can execute code on
+load (the round-1 pickle format could), and renaming a dataclass no longer
+invalidates old checkpoints.
 
 The resume-flag protocol is preserved: ``policy.load_state_dict`` inspects the
-loaded ``PolicyState`` and decides whether this is a resume (restore optimizer
+loaded model state and decides whether this is a resume (restore optimizer
 + iteration) or a teacher bootstrap for distillation
 (reference student_teacher.py:168-206, on_policy_runner.py:307-324).
 
 Robustness beyond the reference (SURVEY.md §5.3-5.4):
-- writes are atomic (temp file + rename), so a preemption mid-save never
+- orbax writes are atomic (tmp dir + rename), so a preemption mid-save never
   corrupts the latest checkpoint,
-- ``save_checkpoint(..., block=False)`` fetches the state synchronously but
-  serializes on a background thread, keeping the training loop running,
+- writes are synchronous, so disk-full/permission errors surface at the save
+  call instead of being swallowed on a daemon thread (round-1 ADVICE); the
+  async ``StandardCheckpointer`` is avoided deliberately — it deadlocks on
+  single-core hosts,
 - ``latest_checkpoint(log_dir)`` finds the newest ``model_<it>.ckpt`` for
   auto-resume after a crash/preemption.
 """
 
 from __future__ import annotations
 
-import itertools
 import os
-import pickle
 import re
-import threading
 from typing import Any
 
 import jax
 import numpy as np
+from flax import serialization
 
 _CKPT_RE = re.compile(r"model_(\d+)\.ckpt$")
-_pending: list[threading.Thread] = []
-_tmp_counter = itertools.count()
+
+# Created lazily: orbax spins up thread pools on construction, which is wasted
+# work for processes that never checkpoint.
+_SAVE_CKPTR = None
+
+
+def _checkpointer():
+    global _SAVE_CKPTR
+    if _SAVE_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _SAVE_CKPTR = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    return _SAVE_CKPTR
 
 
 def _to_host(tree: Any) -> Any:
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def _write_atomic(path: str, state: dict) -> None:
-    # unique temp name: a blocking save may overlap an in-flight async save of
-    # the SAME path (e.g. learn()'s final save right after a periodic one);
-    # with distinct temp files each os.replace is atomic and last-wins, so the
-    # destination is always a complete checkpoint
-    tmp = f"{path}.tmp{next(_tmp_counter)}-{threading.get_ident()}"
-    with open(tmp, "wb") as f:
-        pickle.dump(state, f)
-    os.replace(tmp, path)
-
-
 def save_checkpoint(path: str, state: dict, block: bool = True) -> None:
-    """Serialize a state dict pytree to ``path`` (atomically).
+    """Serialize a state pytree to the ``path`` directory (atomically).
 
-    With ``block=False`` the device->host transfer happens now (so the state
-    is a consistent snapshot) but serialization runs on a background thread.
+    Typed nodes are flattened to their state dicts first, so the on-disk
+    format is pure arrays + container structure. ``block`` is accepted for
+    API compatibility; writes are synchronous (errors raise here).
     """
-    host_state = _to_host(state)
-    if block:
-        _write_atomic(path, host_state)
-        return
-    t = threading.Thread(target=_write_atomic, args=(path, host_state), daemon=True)
-    t.start()
-    _pending.append(t)
+    raw = serialization.to_state_dict(_to_host(state))
+    _checkpointer().save(os.path.abspath(path), raw, force=True)
 
 
 def wait_for_saves() -> None:
-    """Block until all async checkpoint writes have finished."""
-    while _pending:
-        _pending.pop().join()
+    """Block until all checkpoint writes have finished.
+
+    Writes are synchronous, so this is a no-op kept for API compatibility
+    (the training loop calls it before the final save)."""
+    if _SAVE_CKPTR is not None and hasattr(_SAVE_CKPTR, "wait_until_finished"):
+        _SAVE_CKPTR.wait_until_finished()
 
 
-def load_checkpoint(path: str) -> dict:
-    """Load a checkpoint saved by :func:`save_checkpoint`."""
-    with open(path, "rb") as f:
-        return pickle.load(f)
+def load_checkpoint(path: str, target: dict | None = None) -> dict:
+    """Load a checkpoint saved by :func:`save_checkpoint`.
+
+    Without ``target`` returns the raw state dict (nested plain dicts with
+    numpy leaves). With ``target`` — a dict whose entries are live typed
+    pytrees (entries may be missing or ``None`` to skip) — each present
+    checkpoint entry is restored *into the target's types* via
+    ``flax.serialization.from_state_dict``, the state-dict analog of torch's
+    typed ``load_state_dict``. Raises ``FileNotFoundError`` for missing paths
+    and ``ValueError`` for non-checkpoint directories/files; never executes
+    code from the file.
+    """
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"No checkpoint at {path}")
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"{path} is not an rsl_rl_tpu checkpoint directory (round-1 pickle"
+            " checkpoints are no longer supported)."
+        )
+    import orbax.checkpoint as ocp
+
+    try:
+        raw = ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).restore(path)
+    except Exception as e:  # orbax raises various internal types
+        raise ValueError(f"Failed to read checkpoint at {path}: {e}") from e
+    if target is None:
+        return raw
+    out = dict(raw)
+    for key, tgt in target.items():
+        if tgt is not None and key in raw and raw[key] is not None:
+            out[key] = serialization.from_state_dict(tgt, raw[key], name=key)
+    return out
 
 
 def latest_checkpoint(log_dir: str) -> str | None:

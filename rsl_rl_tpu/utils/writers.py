@@ -79,7 +79,11 @@ class WandbSummaryWriter(TensorBoardWriter):
         )
 
     def save_model(self, path: str, iteration: int) -> None:
-        self._wandb.save(path, base_path=os.path.dirname(path))
+        # checkpoints are orbax directories; wandb.save takes glob patterns
+        if os.path.isdir(path):
+            self._wandb.save(os.path.join(path, "**"), base_path=os.path.dirname(path))
+        else:
+            self._wandb.save(path, base_path=os.path.dirname(path))
 
     def save_file(self, path: str) -> None:
         self._wandb.save(path, base_path=os.path.dirname(path))
@@ -122,7 +126,13 @@ class NeptuneSummaryWriter(TensorBoardWriter):
         self.run["env_cfg"] = str(env_cfg)
 
     def save_model(self, path: str, iteration: int) -> None:
-        self.run[f"model/saved_model_{iteration}"].upload(path)
+        if os.path.isdir(path):
+            # checkpoints are orbax directories; upload the contained files
+            self.run[f"model/saved_model_{iteration}"].upload_files(
+                os.path.join(path, "*")
+            )
+        else:
+            self.run[f"model/saved_model_{iteration}"].upload(path)
 
     def save_file(self, path: str) -> None:
         name = path.rsplit("/", 1)[-1].split(".")[0]

@@ -74,3 +74,83 @@ class TestWandbDualWrite:
     def test_missing_project_raises(self, tmp_path, fake_wandb):
         with pytest.raises(KeyError, match="wandb_project"):
             make_writer("wandb", str(tmp_path), cfg={})
+
+
+class _FakeNeptuneHandle:
+    """Records .log/.upload/.upload_files/assignment calls per key."""
+
+    def __init__(self, store, key):
+        self._store = store
+        self._key = key
+
+    def log(self, value, step=None):
+        self._store.append(("log", self._key, value, step))
+
+    def upload(self, path):
+        self._store.append(("upload", self._key, path))
+
+    def upload_files(self, pattern):
+        self._store.append(("upload_files", self._key, pattern))
+
+
+class _FakeNeptuneRun:
+    def __init__(self, store):
+        self._store = store
+
+    def __getitem__(self, key):
+        return _FakeNeptuneHandle(self._store, key)
+
+    def __setitem__(self, key, value):
+        self._store.append(("set", key, value))
+
+    def stop(self):
+        self._store.append(("stop",))
+
+
+class TestNeptuneDualWrite:
+    """Mirror of TestWandbDualWrite for the Neptune backend
+    (reference neptune_utils.py:29-94)."""
+
+    @pytest.fixture
+    def fake_neptune(self, monkeypatch):
+        mod = types.ModuleType("neptune")
+        mod.calls = []
+        mod.init_run = lambda **kw: (mod.calls.append(("init", kw)), _FakeNeptuneRun(mod.calls))[1]
+        monkeypatch.setitem(sys.modules, "neptune", mod)
+        return mod
+
+    def test_scalars_dual_written(self, tmp_path, fake_neptune):
+        w = make_writer(
+            "neptune", str(tmp_path),
+            cfg={"neptune_project": "org/proj", "run_name": "exp-1"},
+        )
+        init = [c for c in fake_neptune.calls if c[0] == "init"][0]
+        assert init[1]["project"] == "org/proj"
+        w.add_scalar("Loss/surrogate", -0.25, 3)
+        logs = [c for c in fake_neptune.calls if c[0] == "log"]
+        assert ("log", "Loss/surrogate", -0.25, 3) in logs
+        # TensorBoard side also written
+        w.stop()
+        assert ("stop",) in fake_neptune.calls
+        assert any("events.out" in f.name for f in tmp_path.iterdir())
+
+    def test_model_and_diff_upload(self, tmp_path, fake_neptune):
+        import os
+
+        w = make_writer("neptune", str(tmp_path), cfg={"neptune_project": "p"})
+        # checkpoints are orbax directories -> upload_files with a glob
+        ckpt_dir = tmp_path / "model_5.ckpt"
+        ckpt_dir.mkdir()
+        w.save_model(str(ckpt_dir), 5)
+        uploads = [c for c in fake_neptune.calls if c[0] == "upload_files"]
+        assert uploads and uploads[0][1] == "model/saved_model_5"
+        assert uploads[0][2] == os.path.join(str(ckpt_dir), "*")
+        # git diffs stay single files -> plain upload
+        diff = tmp_path / "repo.diff"
+        diff.write_text("diff")
+        w.save_file(str(diff))
+        assert any(c[0] == "upload" and c[1].startswith("git_diff/") for c in fake_neptune.calls)
+
+    def test_missing_project_raises(self, tmp_path, fake_neptune):
+        with pytest.raises(KeyError, match="neptune_project"):
+            make_writer("neptune", str(tmp_path), cfg={})
