@@ -1,16 +1,25 @@
-"""Throughput benchmark: PPO on 4096 vectorized JAX Pendulum envs.
+"""Throughput benchmark: PPO on 4096 vectorized JAX environments.
+
+Headline workload: the **N-link pendulum** physics env (``env/nlink.py``) —
+every env step assembles the manipulator equation and solves a batched dense
+``[5, 5]`` system per substep (4 substeps), so the env carries
+physics-grade FLOPs like the MJX workloads the north star names
+(BASELINE.json:5), not a closed-form toy update. The toy ``Pendulum`` number
+is reported alongside for continuity with round 1.
 
 Measures aggregate env-steps/s of full PPO training iterations (collection +
 learning fused into one XLA program), the reference's ``Perf/total_fps``
 metric (reference: rsl_rl/runners/on_policy_runner.py:179,209,220), on
-whatever devices JAX exposes (one TPU chip under the driver).
+whatever devices JAX exposes (one TPU chip under the driver). The
+collection/learning split (reference ``collection_time``/``learn_time``)
+comes from separately timing a collect-only program.
 
 Timing methodology: every measured segment ends with a ``jax.device_get`` of a
-loss scalar. On the tunneled TPU backend ``block_until_ready`` can return
+small output. On the tunneled TPU backend ``block_until_ready`` can return
 before device work finishes, so only a value transfer is a trustworthy fence
 (a transferred value proves the whole executable ran).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 ``vs_baseline`` is the ratio against the 5M env-steps/s north-star target from
 BASELINE.json (which targets a v4-16 pod slice; this runs on a single chip).
 """
@@ -29,13 +38,11 @@ MEASURE_ITERS = 30
 NORTH_STAR = 5_000_000.0  # env-steps/s aggregate on v4-16 (BASELINE.json:5)
 
 
-def main() -> None:
+def _build(env):
     from rsl_rl_tpu.algorithms.ppo import PPO
-    from rsl_rl_tpu.env import Pendulum
     from rsl_rl_tpu.modules import ActorCritic
     from rsl_rl_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_tree
 
-    env = Pendulum(num_envs=NUM_ENVS)
     _, obs = env.reset(jax.random.PRNGKey(0))
     obs_groups = {"policy": ["policy"], "critic": ["policy"]}
     policy = ActorCritic(
@@ -48,14 +55,18 @@ def main() -> None:
         critic_obs_normalization=True,
     )
     ppo = PPO(policy, num_learning_epochs=5, num_mini_batches=4)
-
     ts = ppo.init_train_state(jax.random.PRNGKey(1), NUM_ENVS)
     cs = ppo.init_collect_state(jax.random.PRNGKey(2), env)
     if len(jax.devices()) > 1:
         mesh = make_mesh()
         ts = shard_tree(ts, replicated(mesh))
         cs = shard_tree(cs, data_sharding(mesh))
+    return ppo, ts, cs
 
+
+def measure(env) -> dict:
+    """Returns {"steps_per_s", "collect_s", "learn_s"} for one workload."""
+    ppo, ts, cs = _build(env)
     collect = ppo.make_collect_fn(env, NUM_STEPS)
     update = ppo.make_update_fn()
 
@@ -67,24 +78,54 @@ def main() -> None:
         ts, cs, um = update(ts, cs, rollout)
         return ts, cs, um
 
+    collect_jit = jax.jit(collect)
+
+    # ---- headline: fused full iterations
     for _ in range(WARMUP_ITERS):
         ts, cs, um = iteration(ts, cs)
     jax.device_get(um["Loss/kl"])  # fence: forces all warmup work to finish
-
     start = time.perf_counter()
     for _ in range(MEASURE_ITERS):
         ts, cs, um = iteration(ts, cs)
     jax.device_get(um["Loss/kl"])  # fence: iterations chain, so this waits for all
-    elapsed = time.perf_counter() - start
+    t_full = (time.perf_counter() - start) / MEASURE_ITERS
 
-    steps_per_s = NUM_ENVS * NUM_STEPS * MEASURE_ITERS / elapsed
+    # ---- split: collect-only program (reference collection_time analog)
+    ts2, cs2 = ts, cs
+    for _ in range(WARMUP_ITERS):
+        ts2, cs2, rollout, cm = collect_jit(ts2, cs2)
+    jax.device_get(cm["ep_count"])
+    start = time.perf_counter()
+    for _ in range(MEASURE_ITERS):
+        ts2, cs2, rollout, cm = collect_jit(ts2, cs2)
+    jax.device_get(cm["ep_count"])
+    t_collect = (time.perf_counter() - start) / MEASURE_ITERS
+
+    return {
+        "steps_per_s": NUM_ENVS * NUM_STEPS / t_full,
+        "collect_s": t_collect,
+        "learn_s": max(t_full - t_collect, 0.0),
+    }
+
+
+def main() -> None:
+    from rsl_rl_tpu.env import NLinkPendulum, Pendulum
+
+    physics = measure(NLinkPendulum(num_envs=NUM_ENVS, num_links=5))
+    toy = measure(Pendulum(num_envs=NUM_ENVS))
+
     print(
         json.dumps(
             {
-                "metric": "ppo_env_steps_per_s_4096envs",
-                "value": round(steps_per_s, 1),
+                "metric": "ppo_env_steps_per_s_4096envs_nlink5_physics",
+                "value": round(physics["steps_per_s"], 1),
                 "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / NORTH_STAR, 4),
+                "vs_baseline": round(physics["steps_per_s"] / NORTH_STAR, 4),
+                "collect_s_per_iter": round(physics["collect_s"], 5),
+                "learn_s_per_iter": round(physics["learn_s"], 5),
+                "toy_pendulum_env_steps_per_s": round(toy["steps_per_s"], 1),
+                "toy_collect_s_per_iter": round(toy["collect_s"], 5),
+                "toy_learn_s_per_iter": round(toy["learn_s"], 5),
             }
         )
     )

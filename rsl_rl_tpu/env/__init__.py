@@ -4,6 +4,7 @@ from rsl_rl_tpu.env.brax_env import BraxVecEnv
 from rsl_rl_tpu.env.cartpole import CartPoleSwingUp
 from rsl_rl_tpu.env.host_env import GymVecEnv, HostVecEnv
 from rsl_rl_tpu.env.mjx_env import MJXEnv
+from rsl_rl_tpu.env.nlink import NLinkPendulum
 from rsl_rl_tpu.env.pendulum import PartiallyObservablePendulum, Pendulum
 from rsl_rl_tpu.env.reacher import Reacher
 from rsl_rl_tpu.env.sparse import SparseGoalReach
@@ -20,6 +21,7 @@ __all__ = [
     "HostVecEnv",
     "GymVecEnv",
     "MJXEnv",
+    "NLinkPendulum",
     "SparseGoalReach",
     "BraxVecEnv",
     "Reacher",

@@ -15,6 +15,7 @@ truncation -> ``time_outs`` mapping used for value bootstrapping).
 from __future__ import annotations
 
 import abc
+import warnings
 from typing import Any
 
 import numpy as np
@@ -75,6 +76,17 @@ class GymVecEnv(HostVecEnv):
         self.num_envs = env.num_envs
         self.num_actions = int(np.prod(env.single_action_space.shape))
         spec = getattr(getattr(env, "spec", None), "max_episode_steps", None)
+        if spec is None:
+            # a wrong horizon silently changes timeout-bootstrap semantics
+            # (reference ppo.py:160-164), so never default quietly
+            warnings.warn(
+                "GymVecEnv: the wrapped env's spec declares no max_episode_steps;"
+                " falling back to max_episode_length=1000. Pass an env with a"
+                " TimeLimit spec or set .max_episode_length explicitly —"
+                " init_at_random_ep_len and logging use it.",
+                UserWarning,
+                stacklevel=2,
+            )
         self.max_episode_length = spec or 1000
         self.cfg = cfg or {}
 

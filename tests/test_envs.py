@@ -7,6 +7,7 @@ import pytest
 
 from rsl_rl_tpu.env import (
     CartPoleSwingUp,
+    NLinkPendulum,
     PartiallyObservablePendulum,
     Pendulum,
     PointMass,
@@ -21,6 +22,7 @@ ENVS = [
     lambda n: PointMass(num_envs=n, max_episode_length=50),
     lambda n: SparseGoalReach(num_envs=n, max_episode_length=50),
     lambda n: Reacher(num_envs=n, max_episode_length=50),
+    lambda n: NLinkPendulum(num_envs=n, num_links=3, max_episode_length=50),
     # per-env heterogeneous time limits (reference vec_env.py:30-36 allows a
     # scalar OR per-env tensor)
     lambda n: Pendulum(num_envs=n, max_episode_length=20 + 7 * (np.arange(n) % 5)),
@@ -171,6 +173,96 @@ class TestPendulumPhysics:
         env = PartiallyObservablePendulum(num_envs=2)
         _, obs = env.reset(jax.random.PRNGKey(0))
         assert obs["policy"].shape == (2, 2)
+
+
+class TestNLinkPhysics:
+    """Validate the manipulator-equation dynamics of the physics-bench env."""
+
+    def test_single_link_matches_analytic_pendulum(self):
+        """With L=1 the manipulator equation reduces to the point-mass
+        pendulum: ml² θ̈ = u − mgl sinθ − bω. Compare one undriven substep
+        chain against explicit integration of that ODE."""
+        env = NLinkPendulum(num_envs=1, num_links=1, max_episode_length=1000)
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        theta0, omega0 = 0.7, -0.3
+        state = state.replace(
+            theta=jnp.asarray([[theta0]]), omega=jnp.asarray([[omega0]])
+        )
+        u = 0.8
+        state2, _, _, _, _ = env.step(state, jnp.asarray([[u]]))
+
+        # replicate semi-implicit Euler on the analytic 1-link ODE
+        m, l, g, b = 1.0, float(env.lengths[0]), env.g, env.damping
+        th, om = theta0, omega0
+        h = env.dt / env.n_substeps
+        for _ in range(env.n_substeps):
+            acc = (u - m * g * l * np.sin(th) - b * om) / (m * l * l)
+            om = om + h * acc
+            th = th + h * om
+        np.testing.assert_allclose(float(state2.theta[0, 0]), th, rtol=1e-5)
+        np.testing.assert_allclose(float(state2.omega[0, 0]), om, rtol=1e-5)
+
+    def test_energy_conserved_undriven(self):
+        """With zero torque and damping removed, semi-implicit Euler must
+        approximately conserve mechanical energy over a swing."""
+        env = NLinkPendulum(num_envs=4, num_links=4, max_episode_length=10_000)
+        env.damping = 0.0
+        state, _ = env.reset(jax.random.PRNGKey(1))
+        # displaced start so there is real exchange between KE and PE
+        key = jax.random.PRNGKey(2)
+        state = state.replace(
+            theta=jax.random.uniform(key, (4, 4), minval=-0.8, maxval=0.8)
+        )
+        e0 = np.asarray(env.total_energy(state))
+        step = jax.jit(env.step)
+        zeros = jnp.zeros((4, env.num_actions))
+        for _ in range(100):
+            state, *_ = step(state, zeros)
+        e1 = np.asarray(env.total_energy(state))
+        scale = np.abs(e0) + env.g  # energy scale ~ g * total mass * length
+        assert (np.abs(e1 - e0) / scale < 0.05).all(), (e0, e1)
+
+    def test_mass_matrix_symmetric_positive_definite(self):
+        env = NLinkPendulum(num_envs=2, num_links=5)
+        state, _ = env.reset(jax.random.PRNGKey(3))
+        theta = jax.random.uniform(jax.random.PRNGKey(4), (2, 5), minval=-3, maxval=3)
+        dth = theta[:, :, None] - theta[:, None, :]
+        M = np.asarray(env._K * env._ll * jnp.cos(dth))
+        np.testing.assert_allclose(M, np.swapaxes(M, 1, 2), atol=1e-6)
+        for b in range(2):
+            eig = np.linalg.eigvalsh(M[b])
+            assert eig.min() > 0, eig
+
+    def test_trains_ppo_smoke(self):
+        """A short PPO run on the physics env improves tip height."""
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        env = NLinkPendulum(num_envs=32, num_links=2, max_episode_length=64)
+        cfg = {
+            "num_steps_per_env": 16,
+            "save_interval": 1000,
+            "seed": 3,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "policy": {
+                "class_name": "ActorCritic",
+                "actor_hidden_dims": [32],
+                "critic_hidden_dims": [32],
+            },
+            "algorithm": {
+                "class_name": "PPO",
+                "num_learning_epochs": 3,
+                "num_mini_batches": 2,
+            },
+        }
+        runner = OnPolicyRunner(env, cfg, log_dir=None)
+        ts, cs = runner.train_state, runner.collect_state
+        heights = []
+        for _ in range(40):
+            ts, cs, rollout, cm = runner._collect(ts, cs)
+            ts, cs, um = runner._update(ts, cs, rollout)
+            heights.append(float(cm["extras/nlink/tip_height"]))
+        assert np.isfinite(float(um["Loss/value_function"]))
+        assert np.mean(heights[-10:]) > np.mean(heights[:10]), heights[:3] + heights[-3:]
 
 
 class TestCartPolePhysics:
