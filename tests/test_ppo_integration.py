@@ -114,44 +114,20 @@ class TestLearning:
 
 
 class TestDataParallelConsistency:
-    def test_1dev_vs_2dev_same_losses(self):
-        """The same seed must give (numerically) identical training on 1 and 2
-        devices — data parallelism is pure sharding (SURVEY.md §4.3)."""
-        results = {}
-        for ndev in (1, 2):
-            from rsl_rl_tpu.parallel.mesh import (
-                data_sharding,
-                make_mesh,
-                replicated,
-                shard_tree,
-            )
+    """The same seed must give (numerically) identical training on 1 and 2
+    devices — data parallelism is pure sharding (SURVEY.md §4.3). Covers every
+    guaranteed variant (__graft_entry__.VARIANTS): plain/recurrent PPO, RND
+    (per-env reward_norm + counter in the carried state), symmetry (augmented
+    losses), and feedforward/recurrent distillation (segmented-BPTT update,
+    matching the reference's dedicated grad-allreduce at
+    reference distillation.py:157-185)."""
 
-            env = Pendulum(num_envs=16)
-            _, obs = env.reset(jax.random.PRNGKey(0))
-            policy = ActorCritic(
-                obs, {"policy": ["policy"], "critic": ["policy"]}, env.num_actions,
-                actor_hidden_dims=[16], critic_hidden_dims=[16],
-            )
-            ppo = PPO(policy)
-            ts = ppo.init_train_state(jax.random.PRNGKey(1), 16)
-            cs = ppo.init_collect_state(jax.random.PRNGKey(2), env)
-            mesh = make_mesh(jax.devices()[:ndev])
-            ts = shard_tree(ts, replicated(mesh))
-            cs = shard_tree(cs, data_sharding(mesh))
-            collect = jax.jit(ppo.make_collect_fn(env, 8))
-            update = jax.jit(ppo.make_update_fn())
-            losses = []
-            for _ in range(3):
-                ts, cs, rollout, cm = collect(ts, cs)
-                ts, cs, um = update(ts, cs, rollout)
-                losses.append(float(um["Loss/surrogate"]) + float(um["Loss/value_function"]))
-            results[ndev] = losses
-        np.testing.assert_allclose(results[1], results[2], rtol=1e-4)
-
-    def test_1dev_vs_2dev_same_losses_recurrent(self):
-        """Same invariant for the recurrent policy: the hidden-state carry and
-        BPTT replay must shard along the env axis without changing results."""
-        from rsl_rl_tpu.modules import ActorCriticRecurrent
+    @pytest.mark.parametrize("variant", [
+        "feedforward", "recurrent", "rnd", "symmetry_feedforward",
+        "symmetry_recurrent", "distillation", "distillation_recurrent",
+    ])
+    def test_1dev_vs_2dev_same_losses(self, variant):
+        import __graft_entry__ as graft
         from rsl_rl_tpu.parallel.mesh import (
             data_sharding,
             make_mesh,
@@ -159,28 +135,23 @@ class TestDataParallelConsistency:
             shard_tree,
         )
 
+        assert variant in graft.VARIANTS
         results = {}
         for ndev in (1, 2):
-            env = Pendulum(num_envs=16)
-            _, obs = env.reset(jax.random.PRNGKey(0))
-            policy = ActorCriticRecurrent(
-                obs, {"policy": ["policy"], "critic": ["policy"]}, env.num_actions,
-                rnn_type="gru", rnn_hidden_dim=8,
-                actor_hidden_dims=[16], critic_hidden_dims=[16],
-            )
-            ppo = PPO(policy, num_mini_batches=2)
-            ts = ppo.init_train_state(jax.random.PRNGKey(1), 16)
-            cs = ppo.init_collect_state(jax.random.PRNGKey(2), env)
+            env, alg = graft.make_variant(variant, num_envs=16, hidden=16)
+            ts = alg.init_train_state(jax.random.PRNGKey(1), 16)
+            cs = alg.init_collect_state(jax.random.PRNGKey(2), env)
             mesh = make_mesh(jax.devices()[:ndev])
             ts = shard_tree(ts, replicated(mesh))
             cs = shard_tree(cs, data_sharding(mesh))
-            collect = jax.jit(ppo.make_collect_fn(env, 8))
-            update = jax.jit(ppo.make_update_fn())
+            collect = jax.jit(alg.make_collect_fn(env, 8))
+            update = jax.jit(alg.make_update_fn())
             losses = []
             for _ in range(3):
                 ts, cs, rollout, cm = collect(ts, cs)
                 ts, cs, um = update(ts, cs, rollout)
-                losses.append(float(um["Loss/surrogate"]) + float(um["Loss/value_function"]))
+                losses.append(sum(float(v) for k, v in um.items()
+                                  if k.startswith("Loss/") and k != "Loss/learning_rate"))
             results[ndev] = losses
         np.testing.assert_allclose(results[1], results[2], rtol=1e-4)
 
