@@ -39,24 +39,35 @@ LENGTH = 1.0
 MAX_EPISODE_LENGTH = 200
 
 
-def train_cfg(seed: int) -> dict:
+def train_cfg(seed: int, recurrent: bool = False) -> dict:
     """One config for both frameworks (registry resolves class names on ours;
     the reference eval()s the same names)."""
+    policy = {
+        "class_name": "ActorCritic",
+        "activation": "elu",
+        "actor_obs_normalization": True,
+        "critic_obs_normalization": True,
+        "actor_hidden_dims": [128, 128],
+        "critic_hidden_dims": [128, 128],
+        "init_noise_std": 1.0,
+    }
+    if recurrent:
+        policy.update(
+            {
+                "class_name": "ActorCriticRecurrent",
+                "rnn_type": "gru",
+                "rnn_hidden_dim": 64,
+                "actor_hidden_dims": [128],
+                "critic_hidden_dims": [128],
+            }
+        )
     return {
         "num_steps_per_env": 24,
         "save_interval": 10_000,
         "seed": seed,
         "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
         "logger": "tensorboard",
-        "policy": {
-            "class_name": "ActorCritic",
-            "activation": "elu",
-            "actor_obs_normalization": True,
-            "critic_obs_normalization": True,
-            "actor_hidden_dims": [128, 128],
-            "critic_hidden_dims": [128, 128],
-            "init_noise_std": 1.0,
-        },
+        "policy": policy,
         "algorithm": {
             "class_name": "PPO",
             "learning_rate": 1.0e-3,
@@ -80,7 +91,9 @@ def train_cfg(seed: int) -> dict:
 # --------------------------------------------------------------------------
 
 
-def run_reference(seed: int, iterations: int, num_envs: int = 64) -> list[float]:
+def run_reference(
+    seed: int, iterations: int, num_envs: int = 64, recurrent: bool = False
+) -> list[float]:
     """Train the reference library; returns mean completed-episode reward per
     iteration (nan when no episode finished in that iteration)."""
     from benchmarks._reference_shim import TensorDictShim, install_reference_shims
@@ -98,9 +111,13 @@ def run_reference(seed: int, iterations: int, num_envs: int = 64) -> list[float]
     torch.manual_seed(seed)
 
     class TorchPendulum:
-        """Reference-contract VecEnv with the same dynamics as our JAX env."""
+        """Reference-contract VecEnv with the same dynamics as our JAX env.
 
-        def __init__(self, n: int):
+        With ``partially_observable`` the velocity is hidden (our
+        ``PartiallyObservablePendulum``), separating recurrent policies."""
+
+        def __init__(self, n: int, partially_observable: bool = False):
+            self.partially_observable = partially_observable
             self.num_envs = n
             self.num_actions = 1
             self.max_episode_length = MAX_EPISODE_LENGTH
@@ -114,9 +131,10 @@ def run_reference(seed: int, iterations: int, num_envs: int = 64) -> list[float]
             self.finished_returns: list[float] = []
 
         def get_observations(self):
-            obs = torch.stack(
-                [torch.cos(self.theta), torch.sin(self.theta), self.theta_dot], dim=-1
-            )
+            parts = [torch.cos(self.theta), torch.sin(self.theta)]
+            if not self.partially_observable:
+                parts.append(self.theta_dot)
+            obs = torch.stack(parts, dim=-1)
             return TensorDictShim({"policy": obs}, batch_size=[self.num_envs], device="cpu")
 
         def step(self, actions):
@@ -148,14 +166,14 @@ def run_reference(seed: int, iterations: int, num_envs: int = 64) -> list[float]
             extras = {"time_outs": time_out}
             return self.get_observations(), rew, done, extras
 
-    env = TorchPendulum(num_envs)
+    env = TorchPendulum(num_envs, partially_observable=recurrent)
     import tempfile
 
     # a real log_dir keeps the reference's learn() bookkeeping on its normal
     # code path (log_dir=None trips attribute errors in its first-iteration
     # git/logger block); saving is neutralized to avoid 600 checkpoints
     log_dir = tempfile.mkdtemp(prefix="ref_parity_")
-    runner = RefRunner(env, train_cfg(seed), log_dir=log_dir, device="cpu")
+    runner = RefRunner(env, train_cfg(seed, recurrent), log_dir=log_dir, device="cpu")
     runner.save = lambda *a, **k: None
 
     curve = []
@@ -172,14 +190,17 @@ def run_reference(seed: int, iterations: int, num_envs: int = 64) -> list[float]
 # --------------------------------------------------------------------------
 
 
-def run_ours(seed: int, iterations: int, num_envs: int = 64) -> list[float]:
+def run_ours(
+    seed: int, iterations: int, num_envs: int = 64, recurrent: bool = False
+) -> list[float]:
     import jax
 
-    from rsl_rl_tpu.env import Pendulum
+    from rsl_rl_tpu.env import PartiallyObservablePendulum, Pendulum
     from rsl_rl_tpu.runners import OnPolicyRunner
 
-    env = Pendulum(num_envs=num_envs, max_episode_length=MAX_EPISODE_LENGTH)
-    runner = OnPolicyRunner(env, train_cfg(seed), log_dir=None)
+    env_cls = PartiallyObservablePendulum if recurrent else Pendulum
+    env = env_cls(num_envs=num_envs, max_episode_length=MAX_EPISODE_LENGTH)
+    runner = OnPolicyRunner(env, train_cfg(seed, recurrent), log_dir=None)
     ts, cs = runner.train_state, runner.collect_state
 
     curve = []
@@ -217,32 +238,51 @@ def summarize(curves: dict, checkpoints=(50, 100, 200, 350, 500)) -> list[dict]:
 
 def main():
     p = argparse.ArgumentParser()
+    # this is a CPU benchmark (torch reference is CPU-only); pin JAX to CPU
+    # programmatically — the axon site hook overrides the JAX_PLATFORMS env
+    # var, and touching the tunneled TPU here could collide with a bench run
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     p.add_argument("--iterations", type=int, default=500)
     p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
     p.add_argument("--num-envs", type=int, default=64)
     p.add_argument("--skip-reference", action="store_true")
-    p.add_argument("--out", type=str, default="benchmarks/results/parity_pendulum.json")
+    p.add_argument(
+        "--recurrent", action="store_true",
+        help="GRU ActorCriticRecurrent on the partially observable task",
+    )
+    p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
+    if args.out is None:
+        suffix = "_recurrent" if args.recurrent else ""
+        args.out = f"benchmarks/results/parity_pendulum{suffix}.json"
 
     curves = {"rsl_rl_tpu": [], "reference": []}
     timings = {}
 
     for seed in args.seeds:
         t0 = time.time()
-        curves["rsl_rl_tpu"].append(run_ours(seed, args.iterations, args.num_envs))
+        curves["rsl_rl_tpu"].append(
+            run_ours(seed, args.iterations, args.num_envs, args.recurrent)
+        )
         timings.setdefault("rsl_rl_tpu_s", []).append(round(time.time() - t0, 1))
         print(f"[ours seed={seed}] done in {timings['rsl_rl_tpu_s'][-1]}s", flush=True)
 
     if not args.skip_reference and os.path.isdir("/root/reference"):
         for seed in args.seeds:
             t0 = time.time()
-            curves["reference"].append(run_reference(seed, args.iterations, args.num_envs))
+            curves["reference"].append(
+                run_reference(seed, args.iterations, args.num_envs, args.recurrent)
+            )
             timings.setdefault("reference_s", []).append(round(time.time() - t0, 1))
             print(f"[reference seed={seed}] done in {timings['reference_s'][-1]}s", flush=True)
 
     rows = summarize(curves)
+    task_name = "po_pendulum_gru" if args.recurrent else "pendulum_swingup"
     out = {
-        "task": f"pendulum_swingup_{args.num_envs}envs",
+        "task": f"{task_name}_{args.num_envs}envs",
         "iterations": args.iterations,
         "seeds": args.seeds,
         "checkpoints": rows,
