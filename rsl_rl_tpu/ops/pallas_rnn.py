@@ -217,7 +217,9 @@ def _bwd_kernel(
 def _gru_core_bwd_impl(wh, bhn, carry0, xproj, resets, hs, ghs):
     T, B, H3 = xproj.shape
     H = H3 // 3
-    BB = _pick_block_b(B)
+    # bwd block footprint ~2x fwd's; 256 keeps the worst kernel within the
+    # _vmem_footprint_bytes estimate the shape gate admits against
+    BB = _pick_block_b(B, max_bb=256)
     grid = (T, B // BB)
 
     def rev_t(t, b):

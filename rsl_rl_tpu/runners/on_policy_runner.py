@@ -35,6 +35,7 @@ from rsl_rl_tpu.parallel.mesh import (
 from rsl_rl_tpu.utils.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
+    restore_typed,
     save_checkpoint,
     wait_for_saves,
 )
@@ -269,7 +270,7 @@ class OnPolicyRunner:
             if self.log_dir is not None and not self.disable_logs:
                 self._log(it, start_iter, tot_iter, metrics, collection_time, learn_time)
                 if it % self.save_interval == 0:
-                    self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"), block=False)
+                    self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
             if it == start_iter and self.log_dir is not None and not self.disable_logs:
                 git_file_paths = store_code_state(self.log_dir, self.git_status_repos)
                 if self.logger_type in ["wandb", "neptune"] and git_file_paths:
@@ -384,12 +385,11 @@ class OnPolicyRunner:
 
     # ----------------------------------------------------------- checkpoints
 
-    def save(self, path: str, infos=None, block: bool = True) -> None:
+    def save(self, path: str, infos=None) -> None:
         """Save the train state (reference on_policy_runner.py:289-305).
 
-        ``block=False`` snapshots the state now but writes in the background
-        (forced back to blocking when an experiment tracker must upload the
-        finished file).
+        Writes are synchronous: a failing save (disk full, permissions)
+        raises here instead of being discovered at resume time.
         """
         ts = self.train_state
         state = {
@@ -405,7 +405,7 @@ class OnPolicyRunner:
         uploads = (
             self.logger_type in ["neptune", "wandb"] and not self.disable_logs and self.writer
         )
-        save_checkpoint(path, state, block=block or bool(uploads))
+        save_checkpoint(path, state)
         if uploads:
             self.writer.save_model(path, self.current_learning_iteration)
 
@@ -433,17 +433,14 @@ class OnPolicyRunner:
             loaded_model = loaded["model"]
         new_policy, resumed = self.alg.policy.load_state_dict(ts.policy, loaded_model)
         if resumed:
-            # strict typed restore of the training-state extras; a structural
-            # mismatch here (e.g. changed optimizer config) must raise, not
-            # silently produce a raw-dict opt state that crashes inside jit
-            for key, tgt in (
-                ("opt_state", ts.opt_state),
-                ("lr", ts.lr),
-                ("rnd", ts.rnd),
-                ("rnd_opt_state", ts.rnd_opt_state),
-            ):
-                if tgt is not None and key in loaded and loaded[key] is not None:
-                    loaded[key] = serialization.from_state_dict(tgt, loaded[key], name=key)
+            # strict typed restore of the training-state extras (only on a
+            # true resume — a teacher-bootstrap checkpoint's extras belong to
+            # the teacher's algorithm and are discarded, not restored)
+            loaded = restore_typed(
+                loaded,
+                {"opt_state": ts.opt_state, "lr": ts.lr, "rnd": ts.rnd,
+                 "rnd_opt_state": ts.rnd_opt_state},
+            )
         ts = ts.replace(policy=new_policy)
         if ts.rnd is not None and resumed:
             # resuming an RND run requires the RND state; restore it strictly

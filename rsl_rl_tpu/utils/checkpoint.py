@@ -55,12 +55,12 @@ def _to_host(tree: Any) -> Any:
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, state: dict, block: bool = True) -> None:
+def save_checkpoint(path: str, state: dict) -> None:
     """Serialize a state pytree to the ``path`` directory (atomically).
 
     Typed nodes are flattened to their state dicts first, so the on-disk
-    format is pure arrays + container structure. ``block`` is accepted for
-    API compatibility; writes are synchronous (errors raise here).
+    format is pure arrays + container structure. Writes are synchronous, so
+    disk-full/permission errors raise here at the save call.
     """
     raw = serialization.to_state_dict(_to_host(state))
     _checkpointer().save(os.path.abspath(path), raw, force=True)
@@ -95,18 +95,29 @@ def load_checkpoint(path: str, target: dict | None = None) -> dict:
             f"{path} is not an rsl_rl_tpu checkpoint directory (round-1 pickle"
             " checkpoints are no longer supported)."
         )
-    import orbax.checkpoint as ocp
-
     try:
-        raw = ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).restore(path)
+        raw = _checkpointer().restore(path)
     except Exception as e:  # orbax raises various internal types
         raise ValueError(f"Failed to read checkpoint at {path}: {e}") from e
     if target is None:
         return raw
-    out = dict(raw)
+    return restore_typed(raw, target)
+
+
+def restore_typed(loaded: dict, target: dict) -> dict:
+    """Restore checkpoint entries into the types of live pytrees.
+
+    ``target`` maps entry names to live typed pytrees (entries may be missing
+    or ``None`` to skip); each present checkpoint entry is rebuilt *into the
+    target's types* via ``flax.serialization.from_state_dict`` — the
+    state-dict analog of torch's typed ``load_state_dict``. A structural
+    mismatch (e.g. changed optimizer config) raises instead of silently
+    returning a raw dict that would crash later inside jit.
+    """
+    out = dict(loaded)
     for key, tgt in target.items():
-        if tgt is not None and key in raw and raw[key] is not None:
-            out[key] = serialization.from_state_dict(tgt, raw[key], name=key)
+        if tgt is not None and key in loaded and loaded[key] is not None:
+            out[key] = serialization.from_state_dict(tgt, loaded[key], name=key)
     return out
 
 

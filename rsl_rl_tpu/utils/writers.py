@@ -14,6 +14,15 @@ import os
 from typing import Any
 
 
+def _files_under(path: str) -> list[str]:
+    """Every file under ``path`` recursively (orbax checkpoints nest array
+    data in subdirectories, which non-recursive glob patterns miss)."""
+    out = []
+    for root, _, files in os.walk(path):
+        out.extend(os.path.join(root, f) for f in files)
+    return sorted(out)
+
+
 class TensorBoardWriter:
     """Thin wrapper over ``tensorboardX.SummaryWriter``."""
 
@@ -79,9 +88,11 @@ class WandbSummaryWriter(TensorBoardWriter):
         )
 
     def save_model(self, path: str, iteration: int) -> None:
-        # checkpoints are orbax directories; wandb.save takes glob patterns
+        # checkpoints are orbax directories with nested array files; wandb's
+        # glob is non-recursive, so register every file explicitly
         if os.path.isdir(path):
-            self._wandb.save(os.path.join(path, "**"), base_path=os.path.dirname(path))
+            for f in _files_under(path):
+                self._wandb.save(f, base_path=os.path.dirname(path))
         else:
             self._wandb.save(path, base_path=os.path.dirname(path))
 
@@ -127,10 +138,9 @@ class NeptuneSummaryWriter(TensorBoardWriter):
 
     def save_model(self, path: str, iteration: int) -> None:
         if os.path.isdir(path):
-            # checkpoints are orbax directories; upload the contained files
-            self.run[f"model/saved_model_{iteration}"].upload_files(
-                os.path.join(path, "*")
-            )
+            # checkpoints are orbax directories with nested array files;
+            # upload every contained file (glob patterns are non-recursive)
+            self.run[f"model/saved_model_{iteration}"].upload_files(_files_under(path))
         else:
             self.run[f"model/saved_model_{iteration}"].upload(path)
 

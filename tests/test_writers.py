@@ -66,8 +66,14 @@ class TestWandbDualWrite:
         # slash-time tags are remapped for wandb (reference wandb_utils.py:41-46)
         assert ("log", {"Train/mean_reward_time": 3.0}, 5) in logs
         assert ("log", {"Loss/surrogate": -0.1}, 5) in logs
-        w.save_model(str(tmp_path / "model.ckpt"), 5)
-        assert fake_wandb.saved
+        # orbax checkpoint dirs nest array files; every one must be registered
+        ckpt_dir = tmp_path / "model.ckpt"
+        (ckpt_dir / "d").mkdir(parents=True)
+        (ckpt_dir / "manifest.ocdbt").write_text("m")
+        (ckpt_dir / "d" / "abc123").write_text("array-data")
+        w.save_model(str(ckpt_dir), 5)
+        assert str(ckpt_dir / "d" / "abc123") in fake_wandb.saved
+        assert str(ckpt_dir / "manifest.ocdbt") in fake_wandb.saved
         w.stop()
         assert ("finish",) in fake_wandb.logged
 
@@ -138,13 +144,20 @@ class TestNeptuneDualWrite:
         import os
 
         w = make_writer("neptune", str(tmp_path), cfg={"neptune_project": "p"})
-        # checkpoints are orbax directories -> upload_files with a glob
+        # checkpoints are orbax directories with NESTED array files
+        # (d/<hash>, ocdbt.process_0/...); globs are non-recursive, so the
+        # writer must enumerate every file explicitly
         ckpt_dir = tmp_path / "model_5.ckpt"
-        ckpt_dir.mkdir()
+        (ckpt_dir / "d").mkdir(parents=True)
+        (ckpt_dir / "manifest.ocdbt").write_text("m")
+        (ckpt_dir / "d" / "abc123").write_text("array-data")
         w.save_model(str(ckpt_dir), 5)
         uploads = [c for c in fake_neptune.calls if c[0] == "upload_files"]
         assert uploads and uploads[0][1] == "model/saved_model_5"
-        assert uploads[0][2] == os.path.join(str(ckpt_dir), "*")
+        assert sorted(uploads[0][2]) == [
+            os.path.join(str(ckpt_dir), "d", "abc123"),
+            os.path.join(str(ckpt_dir), "manifest.ocdbt"),
+        ]
         # git diffs stay single files -> plain upload
         diff = tmp_path / "repo.diff"
         diff.write_text("diff")
