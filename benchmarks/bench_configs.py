@@ -188,13 +188,57 @@ def config4(iterations=150):
             "behavior_loss_last": round(s_hist[-1]["Loss/behavior"], 4)}
 
 
+def config5(iterations=150):
+    """Recurrent student distilled from a feedforward privileged teacher,
+    2048 PointMass envs — the recurrent-distillation throughput line. The
+    update takes the chunked segment replay (one fused Pallas GRU call per
+    segment chunk, algorithms/distillation.py) since hidden=128 and the full
+    2048-env replay batch are 128-aligned."""
+    import tempfile
+
+    from rsl_rl_tpu.env import PointMass
+    from rsl_rl_tpu.runners import DistillationRunner, OnPolicyRunner
+
+    teacher_cfg = {
+        "num_steps_per_env": 24, "save_interval": 10_000, "seed": 1,
+        "obs_groups": {"policy": ["policy", "privileged"],
+                       "critic": ["policy", "privileged"]},
+        "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [128, 128],
+                   "critic_hidden_dims": [128, 128], "actor_obs_normalization": True},
+        "algorithm": {"class_name": "PPO", "schedule": "adaptive", "desired_kl": 0.01},
+    }
+    env = PointMass(num_envs=2048)
+    teacher = OnPolicyRunner(env, teacher_cfg, log_dir=None)
+    _train(teacher, iterations // 2)
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="bench_c5_"), "teacher.ckpt")
+    teacher.save(ckpt)
+
+    student_cfg = {
+        "num_steps_per_env": 24, "save_interval": 10_000, "seed": 2,
+        "obs_groups": {"policy": ["policy"], "teacher": ["policy", "privileged"]},
+        "policy": {"class_name": "StudentTeacherRecurrent", "rnn_type": "gru",
+                   "rnn_hidden_dim": 128, "student_hidden_dims": [128, 128],
+                   "teacher_hidden_dims": [128, 128], "student_obs_normalization": True,
+                   "teacher_obs_normalization": True},
+        "algorithm": {"class_name": "Distillation", "learning_rate": 1e-3,
+                      "gradient_length": 12, "num_learning_epochs": 1},
+    }
+    student = DistillationRunner(PointMass(num_envs=2048), student_cfg, log_dir=None)
+    student.load(ckpt)
+    fps_student, s_hist = _train(student, iterations)
+    return {"config": "distill_recurrent_pointmass_2048",
+            "fps_student": round(fps_student),
+            "behavior_loss_first": round(s_hist[0]["Loss/behavior"], 4),
+            "behavior_loss_last": round(s_hist[-1]["Loss/behavior"], 4)}
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4])
+    p.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5])
     p.add_argument("--out", type=str, default="benchmarks/results/configs.json")
     args = p.parse_args()
 
-    fns = {1: config1, 2: config2, 3: config3, 4: config4}
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     results = []
     for c in args.configs:
         r = fns[c]()
