@@ -1,4 +1,4 @@
-"""Data-parallel mesh and sharding utilities."""
+"""Mesh and sharding utilities: data-parallel and (data x model) parallel."""
 
 from rsl_rl_tpu.parallel.mesh import (
     data_sharding,
@@ -9,6 +9,7 @@ from rsl_rl_tpu.parallel.mesh import (
     time_major_sharding,
     tree_shardings,
 )
+from rsl_rl_tpu.parallel.tp import make_tp_mesh, shard_tree_tp, tp_tree_shardings
 
 __all__ = [
     "distributed_init",
@@ -18,4 +19,7 @@ __all__ = [
     "time_major_sharding",
     "shard_tree",
     "tree_shardings",
+    "make_tp_mesh",
+    "tp_tree_shardings",
+    "shard_tree_tp",
 ]
