@@ -21,6 +21,12 @@ Usage (identical command on every host)::
     python examples/train_multihost.py --num-envs 32768 --iterations 1000
 
 On a single host this degrades gracefully to all local devices.
+
+The multi-process path is executed for real by ``tests/test_distributed.py``:
+two OS processes x 2 virtual CPU devices each, wired via
+``distributed_init(coordinator_address=...)``, training over the global
+4-device mesh with XLA collectives crossing the process boundary — and the
+losses match a single-process run of the same global configuration.
 """
 
 from __future__ import annotations
