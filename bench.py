@@ -4,8 +4,11 @@ Headline workload: the **N-link pendulum** physics env (``env/nlink.py``) —
 every env step assembles the manipulator equation and solves a batched dense
 ``[5, 5]`` system per substep (4 substeps), so the env carries
 physics-grade FLOPs like the MJX workloads the north star names
-(BASELINE.json:5), not a closed-form toy update. The toy ``Pendulum`` number
-is reported alongside for continuity with round 1.
+(BASELINE.json:5), not a closed-form toy update — trained in **bf16** MXU
+compute (fp32 params and algorithm math), the TPU-native mode; learning
+quality matches fp32 within seed noise (3-seed study, README "Throughput").
+fp32 physics, the toy ``Pendulum``, and a recurrent GRU-256 workload are
+reported alongside.
 
 Measures aggregate env-steps/s of full PPO training iterations (collection +
 learning fused into one XLA program), the reference's ``Perf/total_fps``
@@ -39,7 +42,7 @@ TRIALS = 3  # best-of-3 timed loops; the tunneled backend is noisy
 NORTH_STAR = 5_000_000.0  # env-steps/s aggregate on v4-16 (BASELINE.json:5)
 
 
-def _build(env, recurrent: bool = False):
+def _build(env, recurrent: bool = False, dtype=None):
     from rsl_rl_tpu.algorithms.ppo import PPO
     from rsl_rl_tpu.modules import ActorCritic, ActorCriticRecurrent
     from rsl_rl_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_tree
@@ -69,6 +72,7 @@ def _build(env, recurrent: bool = False):
             critic_hidden_dims=[256, 256, 256],
             actor_obs_normalization=True,
             critic_obs_normalization=True,
+            dtype=dtype,
         )
     ppo = PPO(policy, num_learning_epochs=5, num_mini_batches=4)
     ts = ppo.init_train_state(jax.random.PRNGKey(1), NUM_ENVS)
@@ -80,9 +84,9 @@ def _build(env, recurrent: bool = False):
     return ppo, ts, cs
 
 
-def measure(env, recurrent: bool = False) -> dict:
+def measure(env, recurrent: bool = False, dtype=None) -> dict:
     """Returns {"steps_per_s", "collect_s", "learn_s"} for one workload."""
-    ppo, ts, cs = _build(env, recurrent=recurrent)
+    ppo, ts, cs = _build(env, recurrent=recurrent, dtype=dtype)
     collect = ppo.make_collect_fn(env, NUM_STEPS)
     update = ppo.make_update_fn()
 
@@ -131,8 +135,17 @@ def measure(env, recurrent: bool = False) -> dict:
 
 
 def main() -> None:
+    import jax.numpy as jnp
+
     from rsl_rl_tpu.env import NLinkPendulum, Pendulum
 
+    # headline: bf16 MXU compute, the TPU-native training mode. Learning
+    # quality matches fp32 on this task (3x800-iteration seeds: fp32
+    # -234+/-77 vs bf16 -269+/-96 mean episode reward — overlapping bands;
+    # see README "Throughput"). fp32 is reported alongside.
+    physics_bf16 = measure(
+        NLinkPendulum(num_envs=NUM_ENVS, num_links=5), dtype=jnp.bfloat16
+    )
     physics = measure(NLinkPendulum(num_envs=NUM_ENVS, num_links=5))
     toy = measure(Pendulum(num_envs=NUM_ENVS))
     recurrent = measure(NLinkPendulum(num_envs=NUM_ENVS, num_links=5), recurrent=True)
@@ -140,12 +153,15 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "ppo_env_steps_per_s_4096envs_nlink5_physics",
-                "value": round(physics["steps_per_s"], 1),
+                "metric": "ppo_env_steps_per_s_4096envs_nlink5_physics_bf16",
+                "value": round(physics_bf16["steps_per_s"], 1),
                 "unit": "env-steps/s",
-                "vs_baseline": round(physics["steps_per_s"] / NORTH_STAR, 4),
-                "collect_s_per_iter": round(physics["collect_s"], 5),
-                "learn_s_per_iter": round(physics["learn_s"], 5),
+                "vs_baseline": round(physics_bf16["steps_per_s"] / NORTH_STAR, 4),
+                "collect_s_per_iter": round(physics_bf16["collect_s"], 5),
+                "learn_s_per_iter": round(physics_bf16["learn_s"], 5),
+                "fp32_env_steps_per_s": round(physics["steps_per_s"], 1),
+                "fp32_collect_s_per_iter": round(physics["collect_s"], 5),
+                "fp32_learn_s_per_iter": round(physics["learn_s"], 5),
                 "toy_pendulum_env_steps_per_s": round(toy["steps_per_s"], 1),
                 "toy_collect_s_per_iter": round(toy["collect_s"], 5),
                 "toy_learn_s_per_iter": round(toy["learn_s"], 5),
