@@ -62,6 +62,7 @@ def _build(env, recurrent: bool = False, dtype=None):
             critic_hidden_dims=[256, 256],
             actor_obs_normalization=True,
             critic_obs_normalization=True,
+            dtype=dtype,  # bf16 applies to the MLP trunks; memory runs fp32
         )
     else:
         policy = ActorCritic(

@@ -15,6 +15,13 @@ one (or more) seeds per chip — ``shard_tree(ts, seed_sharding(mesh))`` with
 the same declarative machinery as parallel/mesh.py. The per-seed adaptive-KL
 learning rates, RND states, and episode statistics all vectorize because
 they are ordinary pytree leaves.
+
+Recurrent policies compose too: vmap of the fused Pallas BPTT kernels
+(``ops/pallas_rnn.py``, pallas_call + custom_vjp) batches over the seed
+axis — verified on real TPU hardware (2-seed GRU-128 PPO train step with
+the shape gate admitting the fused path; finite per-seed losses). CPU test
+runs always take the scan fallback, so this claim is TPU-verified, not
+CI-enforced.
 """
 
 from __future__ import annotations

@@ -37,7 +37,6 @@ from rsl_rl_tpu.utils.checkpoint import (
     load_checkpoint,
     restore_typed,
     save_checkpoint,
-    wait_for_saves,
 )
 from rsl_rl_tpu.utils.git_state import store_code_state
 from rsl_rl_tpu.utils.registry import resolve
@@ -278,9 +277,6 @@ class OnPolicyRunner:
                         self.writer.save_file(path)
 
         if self.log_dir is not None and not self.disable_logs:
-            # drain in-flight periodic saves first so the final (newest) state
-            # is deterministically what ends up on disk for this iteration
-            wait_for_saves()
             self.save(os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt"))
 
     # --------------------------------------------------------------- logging

@@ -66,15 +66,6 @@ def save_checkpoint(path: str, state: dict) -> None:
     _checkpointer().save(os.path.abspath(path), raw, force=True)
 
 
-def wait_for_saves() -> None:
-    """Block until all checkpoint writes have finished.
-
-    Writes are synchronous, so this is a no-op kept for API compatibility
-    (the training loop calls it before the final save)."""
-    if _SAVE_CKPTR is not None and hasattr(_SAVE_CKPTR, "wait_until_finished"):
-        _SAVE_CKPTR.wait_until_finished()
-
-
 def load_checkpoint(path: str, target: dict | None = None) -> dict:
     """Load a checkpoint saved by :func:`save_checkpoint`.
 

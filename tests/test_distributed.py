@@ -41,7 +41,7 @@ def _parse_losses(out: str, pid: int) -> dict:
 
 
 class TestMultiProcess:
-    def test_two_process_training_matches_single_process(self):
+    def _spawn(self):
         port = _free_port()
         env = {**os.environ, "JAX_PLATFORMS": ""}  # workers self-configure
         procs = [
@@ -60,6 +60,15 @@ class TestMultiProcess:
             for p in procs:
                 if p.poll() is None:
                     p.kill()
+        return procs, outs
+
+    def test_two_process_training_matches_single_process(self):
+        # _free_port closes its probe socket before the coordinator binds the
+        # port (TOCTOU); one retry with a fresh port absorbs the rare race
+        for attempt in range(2):
+            procs, outs = self._spawn()
+            if all(p.returncode == 0 for p in procs):
+                break
         assert all(p.returncode == 0 for p in procs), (
             f"worker failed:\nproc0:\n{outs[0]}\n\nproc1:\n{outs[1] if len(outs) > 1 else ''}"
         )
