@@ -51,8 +51,13 @@ class ActorCriticRecurrent(ActorCritic):
         self.rnn_type = rnn_type
         self.rnn_hidden_dim = rnn_hidden_dim
         self.rnn_num_layers = rnn_num_layers
-        self.memory_a = Memory(hidden_size=rnn_hidden_dim, rnn_type=rnn_type, num_layers=rnn_num_layers)
-        self.memory_c = Memory(hidden_size=rnn_hidden_dim, rnn_type=rnn_type, num_layers=rnn_num_layers)
+        # the policy-wide compute dtype also drives the memory matmuls
+        # (bf16 operands / fp32 state, both scan and Pallas paths)
+        mem_dtype = kwargs.get("dtype")
+        self.memory_a = Memory(hidden_size=rnn_hidden_dim, rnn_type=rnn_type,
+                               num_layers=rnn_num_layers, compute_dtype=mem_dtype)
+        self.memory_c = Memory(hidden_size=rnn_hidden_dim, rnn_type=rnn_type,
+                               num_layers=rnn_num_layers, compute_dtype=mem_dtype)
 
     # ------------------------------------------------------------------ init
 

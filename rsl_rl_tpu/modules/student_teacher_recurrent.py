@@ -51,9 +51,12 @@ class StudentTeacherRecurrent(StudentTeacher):
         self.rnn_hidden_dim = rnn_hidden_dim
         self.rnn_num_layers = rnn_num_layers
         self.teacher_recurrent = teacher_recurrent
-        self.memory_s = Memory(hidden_size=rnn_hidden_dim, rnn_type=rnn_type, num_layers=rnn_num_layers)
+        mem_dtype = kwargs.get("dtype")  # policy compute dtype drives memories too
+        self.memory_s = Memory(hidden_size=rnn_hidden_dim, rnn_type=rnn_type,
+                               num_layers=rnn_num_layers, compute_dtype=mem_dtype)
         self.memory_t = (
-            Memory(hidden_size=rnn_hidden_dim, rnn_type=rnn_type, num_layers=rnn_num_layers)
+            Memory(hidden_size=rnn_hidden_dim, rnn_type=rnn_type,
+                   num_layers=rnn_num_layers, compute_dtype=mem_dtype)
             if teacher_recurrent
             else None
         )

@@ -48,6 +48,11 @@ class Memory(nn.Module):
     hidden_size: int = 256
     rnn_type: str = "lstm"
     num_layers: int = 1
+    #: ``None`` = exact fp32. ``jnp.bfloat16`` = bf16 matmul operands with
+    #: fp32 params/state/accumulation on BOTH paths (flax cell ``dtype`` for
+    #: the scan, operand casts inside the Pallas kernels) — the same
+    #: mixed-precision scheme as ``MLP(dtype=bfloat16)``.
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, carry: Any, x: jax.Array) -> tuple[Any, jax.Array]:
@@ -62,6 +67,7 @@ class Memory(nn.Module):
                     kernel_init=init,
                     recurrent_kernel_init=init,
                     bias_init=init,
+                    dtype=self.compute_dtype,
                     name=f"cell_{layer}",
                 )
             else:
@@ -70,9 +76,18 @@ class Memory(nn.Module):
                     kernel_init=init,
                     recurrent_kernel_init=init,
                     bias_init=init,
+                    dtype=self.compute_dtype,
                     name=f"cell_{layer}",
                 )
             layer_carry, out = cell(carry[layer], out)
+            if self.compute_dtype is not None:
+                # flax returns carry/out in compute dtype; state stays fp32
+                # (matches the Pallas kernels' fp32 scratch) and keeps the
+                # lax.scan carry dtype stable across steps
+                layer_carry = jax.tree.map(
+                    lambda a: a.astype(jnp.float32), layer_carry
+                )
+                out = out.astype(jnp.float32)
             new_carry.append(layer_carry)
         return tuple(new_carry), out
 
@@ -122,9 +137,13 @@ class Memory(nn.Module):
             for layer in range(self.num_layers):
                 p = params[f"cell_{layer}"]
                 if self.rnn_type.lower() == "gru":
-                    out, final = gru_sequence_with_carry(p, carry0[layer], out, resets)
+                    out, final = gru_sequence_with_carry(
+                        p, carry0[layer], out, resets, compute_dtype=self.compute_dtype
+                    )
                 else:
-                    out, final = lstm_sequence_with_carry(p, carry0[layer], out, resets)
+                    out, final = lstm_sequence_with_carry(
+                        p, carry0[layer], out, resets, compute_dtype=self.compute_dtype
+                    )
                 finals.append(final)
             return out, tuple(finals)
         apply_step = lambda c, x: self.apply({"params": params}, c, x)

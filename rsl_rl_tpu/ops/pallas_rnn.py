@@ -29,6 +29,8 @@ carry reset of `rsl_rl_tpu.networks.memory.memory_sequence`).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -79,7 +81,19 @@ def supports_pallas_rnn(batch: int, hidden: int, rnn_type: str = "lstm") -> bool
 # --------------------------------------------------------------------------
 
 
-def _fwd_kernel(xproj_ref, resets_ref, carry0_ref, wh_ref, bhn_ref, hs_ref, h_scr):
+def _mm(a, b, dt):
+    """Kernel matmul: fp32 accumulate, optionally bf16 operands.
+
+    With ``dt=bfloat16`` the MXU runs at its native (2x) bf16 rate while the
+    hidden state, gate math, and all accumulations stay fp32 — the standard
+    TPU mixed-precision scheme (same as ``MLP(dtype=bfloat16)``).
+    """
+    if dt is not None:
+        a, b = a.astype(dt), b.astype(dt)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(dt, xproj_ref, resets_ref, carry0_ref, wh_ref, bhn_ref, hs_ref, h_scr):
     t = pl.program_id(0)
     b = pl.program_id(1)
     H = carry0_ref.shape[-1]
@@ -93,24 +107,22 @@ def _fwd_kernel(xproj_ref, resets_ref, carry0_ref, wh_ref, bhn_ref, hs_ref, h_sc
     h = h_scr[bs, :] * (1.0 - resets_ref[0, 0, :][:, None])
     x = xproj_ref[0]
     wh = wh_ref[:]
-    r = jax.nn.sigmoid(x[:, :H] + jnp.dot(h, wh[:, :H], preferred_element_type=jnp.float32))
-    z = jax.nn.sigmoid(
-        x[:, H : 2 * H] + jnp.dot(h, wh[:, H : 2 * H], preferred_element_type=jnp.float32)
-    )
-    u = jnp.dot(h, wh[:, 2 * H :], preferred_element_type=jnp.float32) + bhn_ref[0]
+    r = jax.nn.sigmoid(x[:, :H] + _mm(h, wh[:, :H], dt))
+    z = jax.nn.sigmoid(x[:, H : 2 * H] + _mm(h, wh[:, H : 2 * H], dt))
+    u = _mm(h, wh[:, 2 * H :], dt) + bhn_ref[0]
     n = jnp.tanh(x[:, 2 * H :] + r * u)
     h_new = (1.0 - z) * n + z * h
     h_scr[bs, :] = h_new
     hs_ref[0] = h_new
 
 
-def _gru_core_fwd_impl(wh, bhn, carry0, xproj, resets):
+def _gru_core_fwd_impl(wh, bhn, carry0, xproj, resets, dt=None):
     T, B, H3 = xproj.shape
     H = H3 // 3
     BB = _pick_block_b(B)
     grid = (T, B // BB)
     return pl.pallas_call(
-        _fwd_kernel,
+        partial(_fwd_kernel, dt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BB, 3 * H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
@@ -139,6 +151,7 @@ def _gru_core_fwd_impl(wh, bhn, carry0, xproj, resets):
 
 
 def _bwd_kernel(
+    dt,
     xproj_ref,
     resets_ref,
     carry0_ref,
@@ -175,14 +188,13 @@ def _bwd_kernel(
     h_prev_raw = jnp.where(t == 0, carry0_ref[:], hs_prev_ref[0])
     h = h_prev_raw * (1.0 - reset)
 
-    # recompute forward intermediates for step t
+    # recompute forward intermediates for step t (same dt casts as forward,
+    # so the recomputed activations match the forward pass exactly)
     x = xproj_ref[0]
     wh = wh_ref[:]
-    r = jax.nn.sigmoid(x[:, :H] + jnp.dot(h, wh[:, :H], preferred_element_type=jnp.float32))
-    z = jax.nn.sigmoid(
-        x[:, H : 2 * H] + jnp.dot(h, wh[:, H : 2 * H], preferred_element_type=jnp.float32)
-    )
-    u = jnp.dot(h, wh[:, 2 * H :], preferred_element_type=jnp.float32) + bhn_ref[0]
+    r = jax.nn.sigmoid(x[:, :H] + _mm(h, wh[:, :H], dt))
+    z = jax.nn.sigmoid(x[:, H : 2 * H] + _mm(h, wh[:, H : 2 * H], dt))
+    u = _mm(h, wh[:, 2 * H :], dt) + bhn_ref[0]
     n = jnp.tanh(x[:, 2 * H :] + r * u)
 
     # incoming gradient: output grad of this step + carry grad from step t+1
@@ -196,9 +208,9 @@ def _bwd_kernel(
     dxproj_ref[0] = jnp.concatenate([dr_pre, dz, dn_pre], axis=-1)
 
     dgates = jnp.concatenate([dr_pre, dz, du], axis=-1)  # [BB, 3H]
-    dh = g * z + jnp.dot(dgates, wh.T, preferred_element_type=jnp.float32)
+    dh = g * z + _mm(dgates, wh.T, dt)
 
-    dwh_scr[:] += jnp.dot(h.T, dgates, preferred_element_type=jnp.float32)
+    dwh_scr[:] += _mm(h.T, dgates, dt)
     dbhn_scr[0, :] += jnp.sum(du, axis=0)
 
     dh_prev = dh * (1.0 - reset)
@@ -214,7 +226,7 @@ def _bwd_kernel(
         dbhn_ref[:] = dbhn_scr[:]
 
 
-def _gru_core_bwd_impl(wh, bhn, carry0, xproj, resets, hs, ghs):
+def _gru_core_bwd_impl(wh, bhn, carry0, xproj, resets, hs, ghs, dt=None):
     T, B, H3 = xproj.shape
     H = H3 // 3
     # bwd block footprint ~2x fwd's; 256 keeps the worst kernel within the
@@ -231,7 +243,7 @@ def _gru_core_bwd_impl(wh, bhn, carry0, xproj, resets, hs, ghs):
         return (jnp.maximum(T - 2 - t, 0), b, 0)
 
     dxproj, dcarry0, dwh, dbhn = pl.pallas_call(
-        _bwd_kernel,
+        partial(_bwd_kernel, dt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BB, 3 * H), rev_t, memory_space=pltpu.VMEM),
@@ -271,20 +283,20 @@ def _gru_core_bwd_impl(wh, bhn, carry0, xproj, resets, hs, ghs):
     return dwh, dbhn, dcarry0, dxproj
 
 
-@jax.custom_vjp
-def _gru_core(wh, bhn, carry0, xproj, resets):
-    return _gru_core_fwd_impl(wh, bhn, carry0, xproj, resets)
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gru_core(dt, wh, bhn, carry0, xproj, resets):
+    return _gru_core_fwd_impl(wh, bhn, carry0, xproj, resets, dt=dt)
 
 
-def _gru_core_fwd(wh, bhn, carry0, xproj, resets):
-    hs = _gru_core_fwd_impl(wh, bhn, carry0, xproj, resets)
+def _gru_core_fwd(dt, wh, bhn, carry0, xproj, resets):
+    hs = _gru_core_fwd_impl(wh, bhn, carry0, xproj, resets, dt=dt)
     return hs, (wh, bhn, carry0, xproj, resets, hs)
 
 
-def _gru_core_bwd(res, ghs):
+def _gru_core_bwd(dt, res, ghs):
     wh, bhn, carry0, xproj, resets, hs = res
     dwh, dbhn, dcarry0, dxproj = _gru_core_bwd_impl(
-        wh, bhn, carry0, xproj, resets, hs, ghs
+        wh, bhn, carry0, xproj, resets, hs, ghs, dt=dt
     )
     return dwh, dbhn, dcarry0, dxproj, jnp.zeros_like(resets)
 
@@ -298,7 +310,8 @@ _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
 
 
 def gru_sequence(
-    cell_params: dict, carry0: jax.Array, xs: jax.Array, resets: jax.Array
+    cell_params: dict, carry0: jax.Array, xs: jax.Array, resets: jax.Array,
+    compute_dtype=None,
 ) -> jax.Array:
     """Run a full GRU window with done-masked resets, fused on TPU.
 
@@ -313,6 +326,10 @@ def gru_sequence(
         xs: ``[T, B, D]`` inputs.
         resets: ``[T, B]`` bool/float; ``resets[t]`` zeroes the carry before
             step ``t``.
+        compute_dtype: ``None`` (exact fp32, matches the scan path
+            bit-for-bit) or ``jnp.bfloat16`` — matmul operands cast to bf16
+            with fp32 accumulation/state (2x MXU rate; small bounded error,
+            tests/test_pallas_rnn.py::TestBf16Compute).
 
     Returns:
         ``[T, B, H]`` hidden outputs.
@@ -326,7 +343,18 @@ def gru_sequence(
     bi = jnp.concatenate(
         [cell_params["ir"]["bias"], cell_params["iz"]["bias"], cell_params["in"]["bias"]]
     )
-    xproj = xs.reshape(T * B, -1) @ wi + bi
+    xflat = xs.reshape(T * B, -1)
+    if compute_dtype is not None:
+        xproj = (
+            jnp.dot(
+                xflat.astype(compute_dtype),
+                wi.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + bi
+        )
+    else:
+        xproj = xflat @ wi + bi
     wh = jnp.concatenate(
         [cell_params["hr"]["kernel"], cell_params["hz"]["kernel"], cell_params["hn"]["kernel"]],
         axis=1,
@@ -334,6 +362,7 @@ def gru_sequence(
     bhn = cell_params["hn"]["bias"][None, :]
     H = wh.shape[0]
     return _gru_core(
+        compute_dtype,
         wh,
         bhn,
         carry0.astype(jnp.float32),
@@ -354,7 +383,7 @@ def gru_sequence(
 
 
 def _lstm_fwd_kernel(
-    xproj_ref, resets_ref, c0_ref, h0_ref, wh_ref, bh_ref, hs_ref, cs_ref, c_scr, h_scr
+    dt, xproj_ref, resets_ref, c0_ref, h0_ref, wh_ref, bh_ref, hs_ref, cs_ref, c_scr, h_scr
 ):
     t = pl.program_id(0)
     b = pl.program_id(1)
@@ -370,7 +399,7 @@ def _lstm_fwd_kernel(
     keep = 1.0 - resets_ref[0, 0, :][:, None]
     c = c_scr[bs, :] * keep
     h = h_scr[bs, :] * keep
-    gates = xproj_ref[0] + jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32) + bh_ref[0]
+    gates = xproj_ref[0] + _mm(h, wh_ref[:], dt) + bh_ref[0]
     i = jax.nn.sigmoid(gates[:, :H])
     f = jax.nn.sigmoid(gates[:, H : 2 * H])
     g = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -383,13 +412,13 @@ def _lstm_fwd_kernel(
     cs_ref[0] = c_new
 
 
-def _lstm_core_fwd_impl(wh, bh, c0, h0, xproj, resets):
+def _lstm_core_fwd_impl(wh, bh, c0, h0, xproj, resets, dt=None):
     T, B, H4 = xproj.shape
     H = H4 // 4
     BB = _pick_block_b(B)
     grid = (T, B // BB)
     return pl.pallas_call(
-        _lstm_fwd_kernel,
+        partial(_lstm_fwd_kernel, dt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BB, 4 * H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
@@ -423,6 +452,7 @@ def _lstm_core_fwd_impl(wh, bh, c0, h0, xproj, resets):
 
 
 def _lstm_bwd_kernel(
+    dt,
     xproj_ref,
     resets_ref,
     c0_ref,
@@ -465,12 +495,8 @@ def _lstm_bwd_kernel(
     c_prev = jnp.where(t == 0, c0_ref[:], cs_prev_ref[0]) * keep
     h_prev = jnp.where(t == 0, h0_ref[:], hs_prev_ref[0]) * keep
 
-    # recompute gates of step t
-    gates = (
-        xproj_ref[0]
-        + jnp.dot(h_prev, wh_ref[:], preferred_element_type=jnp.float32)
-        + bh_ref[0]
-    )
+    # recompute gates of step t (same dt casts as forward)
+    gates = xproj_ref[0] + _mm(h_prev, wh_ref[:], dt) + bh_ref[0]
     i = jax.nn.sigmoid(gates[:, :H])
     f = jax.nn.sigmoid(gates[:, H : 2 * H])
     g = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -489,10 +515,10 @@ def _lstm_bwd_kernel(
     dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=-1)
     dxproj_ref[0] = dgates
 
-    dh = jnp.dot(dgates, wh_ref[:].T, preferred_element_type=jnp.float32)
+    dh = _mm(dgates, wh_ref[:].T, dt)
     dc = gc * f
 
-    dwh_scr[:] += jnp.dot(h_prev.T, dgates, preferred_element_type=jnp.float32)
+    dwh_scr[:] += _mm(h_prev.T, dgates, dt)
     dbh_scr[0, :] += jnp.sum(dgates, axis=0)
 
     dh_prev = dh * keep
@@ -511,7 +537,7 @@ def _lstm_bwd_kernel(
         dbh_ref[:] = dbh_scr[:]
 
 
-def _lstm_core_bwd_impl(wh, bh, c0, h0, xproj, resets, hs, cs, ghs):
+def _lstm_core_bwd_impl(wh, bh, c0, h0, xproj, resets, hs, cs, ghs, dt=None):
     T, B, H4 = xproj.shape
     H = H4 // 4
     BB = _pick_block_b(B, max_bb=256)  # bwd block footprint ~2x fwd's
@@ -524,7 +550,7 @@ def _lstm_core_bwd_impl(wh, bh, c0, h0, xproj, resets, hs, cs, ghs):
         return (jnp.maximum(T - 2 - t, 0), b, 0)
 
     return pl.pallas_call(
-        _lstm_bwd_kernel,
+        partial(_lstm_bwd_kernel, dt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BB, 4 * H), rev_t, memory_space=pltpu.VMEM),
@@ -569,26 +595,26 @@ def _lstm_core_bwd_impl(wh, bh, c0, h0, xproj, resets, hs, cs, ghs):
     )(xproj, resets, c0, h0, wh, bh, hs, cs, cs, ghs)
 
 
-@jax.custom_vjp
-def _lstm_core(wh, bh, c0, h0, xproj, resets):
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lstm_core(dt, wh, bh, c0, h0, xproj, resets):
     """Returns ``(hs, cT)``. ``cT`` (the final cell state) is VALUE-ONLY: its
     cotangent is ignored by the VJP. Public callers get it wrapped in
     ``stop_gradient`` — it exists for truncated-BPTT replay, which detaches
     the carry at segment boundaries anyway (reference distillation.py:136)."""
-    hs, cs = _lstm_core_fwd_impl(wh, bh, c0, h0, xproj, resets)
+    hs, cs = _lstm_core_fwd_impl(wh, bh, c0, h0, xproj, resets, dt=dt)
     return hs, cs[-1]
 
 
-def _lstm_core_fwd(wh, bh, c0, h0, xproj, resets):
-    hs, cs = _lstm_core_fwd_impl(wh, bh, c0, h0, xproj, resets)
+def _lstm_core_fwd(dt, wh, bh, c0, h0, xproj, resets):
+    hs, cs = _lstm_core_fwd_impl(wh, bh, c0, h0, xproj, resets, dt=dt)
     return (hs, cs[-1]), (wh, bh, c0, h0, xproj, resets, hs, cs)
 
 
-def _lstm_core_bwd(res, g):
+def _lstm_core_bwd(dt, res, g):
     ghs, _gcT = g  # cT output is value-only (see _lstm_core docstring)
     wh, bh, c0, h0, xproj, resets, hs, cs = res
     dxproj, dc0, dh0, dwh, dbh = _lstm_core_bwd_impl(
-        wh, bh, c0, h0, xproj, resets, hs, cs, ghs
+        wh, bh, c0, h0, xproj, resets, hs, cs, ghs, dt=dt
     )
     return dwh, dbh, dc0, dh0, dxproj, jnp.zeros_like(resets)
 
@@ -596,8 +622,36 @@ def _lstm_core_bwd(res, g):
 _lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
 
 
+def _lstm_call(cell_params, carry0, xs, resets, dt):
+    """Shared prep for the lstm_sequence* entry points."""
+    T, B, _ = xs.shape
+    order = ("i", "f", "g", "o")
+    wi = jnp.concatenate([cell_params[f"i{k}"]["kernel"] for k in order], axis=1)
+    xflat = xs.reshape(T * B, -1)
+    if dt is not None:
+        xproj = jnp.dot(
+            xflat.astype(dt), wi.astype(dt), preferred_element_type=jnp.float32
+        )
+    else:
+        xproj = xflat @ wi
+    wh = jnp.concatenate([cell_params[f"h{k}"]["kernel"] for k in order], axis=1)
+    bh = jnp.concatenate([cell_params[f"h{k}"]["bias"] for k in order])[None, :]
+    H = wh.shape[0]
+    c0, h0 = carry0
+    return _lstm_core(
+        dt,
+        wh,
+        bh,
+        c0.astype(jnp.float32),
+        h0.astype(jnp.float32),
+        xproj.reshape(T, B, 4 * H).astype(jnp.float32),
+        resets.astype(jnp.float32).reshape(T, 1, B),
+    )
+
+
 def lstm_sequence(
-    cell_params: dict, carry0: tuple, xs: jax.Array, resets: jax.Array
+    cell_params: dict, carry0: tuple, xs: jax.Array, resets: jax.Array,
+    compute_dtype=None,
 ) -> jax.Array:
     """Fused LSTM window replay; see :func:`gru_sequence`.
 
@@ -607,61 +661,35 @@ def lstm_sequence(
         carry0: ``(c0, h0)`` tuple, each ``[B, H]``.
         xs: ``[T, B, D]`` inputs.
         resets: ``[T, B]`` bool/float carry-reset mask.
+        compute_dtype: ``None`` (exact fp32) or ``jnp.bfloat16`` matmul
+            operands (see :func:`gru_sequence`).
 
     Returns:
         ``[T, B, H]`` hidden outputs.
     """
-    T, B, _ = xs.shape
-    order = ("i", "f", "g", "o")
-    wi = jnp.concatenate([cell_params[f"i{k}"]["kernel"] for k in order], axis=1)
-    xproj = xs.reshape(T * B, -1) @ wi
-    wh = jnp.concatenate([cell_params[f"h{k}"]["kernel"] for k in order], axis=1)
-    bh = jnp.concatenate([cell_params[f"h{k}"]["bias"] for k in order])[None, :]
-    H = wh.shape[0]
-    c0, h0 = carry0
-    hs, _ = _lstm_core(
-        wh,
-        bh,
-        c0.astype(jnp.float32),
-        h0.astype(jnp.float32),
-        xproj.reshape(T, B, 4 * H).astype(jnp.float32),
-        resets.astype(jnp.float32).reshape(T, 1, B),
-    )
+    hs, _ = _lstm_call(cell_params, carry0, xs, resets, compute_dtype)
     return hs
 
 
 def lstm_sequence_with_carry(
-    cell_params: dict, carry0: tuple, xs: jax.Array, resets: jax.Array
+    cell_params: dict, carry0: tuple, xs: jax.Array, resets: jax.Array,
+    compute_dtype=None,
 ) -> tuple[jax.Array, tuple]:
     """:func:`lstm_sequence` that also returns the final ``(c, h)`` carry.
 
     The carry is VALUE-ONLY (wrapped in ``stop_gradient``) — intended for
     truncated-BPTT replay, which detaches the carry at segment boundaries
     (reference distillation.py:136)."""
-    T, B, _ = xs.shape
-    order = ("i", "f", "g", "o")
-    wi = jnp.concatenate([cell_params[f"i{k}"]["kernel"] for k in order], axis=1)
-    xproj = xs.reshape(T * B, -1) @ wi
-    wh = jnp.concatenate([cell_params[f"h{k}"]["kernel"] for k in order], axis=1)
-    bh = jnp.concatenate([cell_params[f"h{k}"]["bias"] for k in order])[None, :]
-    H = wh.shape[0]
-    c0, h0 = carry0
-    hs, cT = _lstm_core(
-        wh,
-        bh,
-        c0.astype(jnp.float32),
-        h0.astype(jnp.float32),
-        xproj.reshape(T, B, 4 * H).astype(jnp.float32),
-        resets.astype(jnp.float32).reshape(T, 1, B),
-    )
+    hs, cT = _lstm_call(cell_params, carry0, xs, resets, compute_dtype)
     final = (jax.lax.stop_gradient(cT), jax.lax.stop_gradient(hs[-1]))
     return hs, final
 
 
 def gru_sequence_with_carry(
-    cell_params: dict, carry0: jax.Array, xs: jax.Array, resets: jax.Array
+    cell_params: dict, carry0: jax.Array, xs: jax.Array, resets: jax.Array,
+    compute_dtype=None,
 ) -> tuple[jax.Array, jax.Array]:
     """:func:`gru_sequence` that also returns the final hidden state
     (value-only, ``stop_gradient``-wrapped; see lstm_sequence_with_carry)."""
-    hs = gru_sequence(cell_params, carry0, xs, resets)
+    hs = gru_sequence(cell_params, carry0, xs, resets, compute_dtype=compute_dtype)
     return hs, jax.lax.stop_gradient(hs[-1])

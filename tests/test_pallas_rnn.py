@@ -86,6 +86,68 @@ class TestBackward:
         )
 
 
+def _pallas_path_bf16(mem, params, carry0, xs, resets):
+    if mem.rnn_type == "gru":
+        return pallas_rnn.gru_sequence(
+            params["cell_0"], carry0[0], xs, resets, compute_dtype=jnp.bfloat16
+        )
+    return pallas_rnn.lstm_sequence(
+        params["cell_0"], carry0[0], xs, resets, compute_dtype=jnp.bfloat16
+    )
+
+
+class TestBf16Compute:
+    """bf16 matmul operands (fp32 state/accumulation) introduce a small,
+    bounded error vs the exact fp32 path — the kernels' analog of
+    ``MLP(dtype=bfloat16)``. bf16 has ~3 decimal digits, so tolerances are
+    ~1e-2 for values; gradients are compared by relative L2 error (bf16
+    rounding noise is unbiased but per-element tolerances would be brittle
+    over a T-step product chain)."""
+
+    def test_values_close_to_fp32(self, setup):
+        mem, params, carry0, xs, resets = setup
+        want = _scan_path(mem, params, carry0, xs, resets)
+        with pltpu.force_tpu_interpret_mode():
+            got = _pallas_path_bf16(mem, params, carry0, xs, resets)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-2, atol=3e-2)
+
+    def test_grads_close_to_fp32(self, setup):
+        mem, params, carry0, xs, resets = setup
+
+        def loss_scan(params, carry0, xs):
+            out = _scan_path(mem, params, carry0, xs, resets)
+            return jnp.sum(out * jnp.cos(out))
+
+        def loss_bf16(params, carry0, xs):
+            out = _pallas_path_bf16(mem, params, carry0, xs, resets)
+            return jnp.sum(out * jnp.cos(out))
+
+        want = jax.grad(loss_scan, argnums=(0, 1, 2))(params, carry0, xs)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_bf16, argnums=(0, 1, 2))(params, carry0, xs)
+
+        def rel_l2(p, w, g):
+            w, g = np.asarray(w, np.float64), np.asarray(g, np.float64)
+            denom = np.linalg.norm(w) + 1e-6
+            err = np.linalg.norm(g - w) / denom
+            assert err < 5e-2, f"{jax.tree_util.keystr(p)}: relative L2 {err:.3f}"
+
+        jax.tree_util.tree_map_with_path(rel_l2, want, got)
+
+    def test_memory_scan_path_accepts_bf16(self, setup):
+        """The flax-cell fallback with compute_dtype set must run and stay
+        close to fp32 (it rounds at different points than the kernels)."""
+        mem, params, carry0, xs, resets = setup
+        mem16 = Memory(
+            hidden_size=H, rnn_type=mem.rnn_type, num_layers=1,
+            compute_dtype=jnp.bfloat16,
+        )
+        want = _scan_path(mem, params, carry0, xs, resets)
+        got = _scan_path(mem16, params, carry0, xs, resets)
+        assert got.dtype == jnp.float32  # carries/outputs cast back to fp32
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-2, atol=3e-2)
+
+
 class TestVmemGate:
     """The shape gate must bound the kernels' full-batch VMEM scratch
     (ADVICE r1: B=8192, H=512 would exceed VMEM at compile time)."""
