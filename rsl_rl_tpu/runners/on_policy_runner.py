@@ -88,15 +88,26 @@ class OnPolicyRunner:
         # ---- device mesh (data parallelism; SURVEY.md §5.8). By default the
         # mesh spans all devices; a `device` argument (API parity with the
         # reference's cuda:N pinning) restricts it to that single device.
-        if device is None:
-            self.mesh = make_mesh()
+        # `model_parallel_size: M` in the runner config additionally shards
+        # wide-policy MLP trunks across an M-way `model` mesh axis
+        # (parallel/tp.py; no reference equivalent — the reference is
+        # DDP-only, reference ppo.py:428-469).
+        self.model_parallel_size = int(self.cfg.get("model_parallel_size", 1))
+        mesh_devices = None if device is None else [_resolve_device(device)]
+        if self.model_parallel_size > 1:
+            from rsl_rl_tpu.parallel.tp import make_tp_mesh
+
+            self.mesh = make_tp_mesh(self.model_parallel_size, mesh_devices)
         else:
-            self.mesh = make_mesh([_resolve_device(device)])
+            self.mesh = make_mesh(mesh_devices)
         self.num_devices = len(self.mesh.devices.flatten()) if self.is_jax_env else 1
-        if env.num_envs % self.num_devices != 0:
+        num_data_shards = (
+            self.mesh.shape.get("data", 1) if self.is_jax_env else 1
+        )
+        if env.num_envs % num_data_shards != 0:
             raise ValueError(
-                f"num_envs ({env.num_envs}) must be divisible by the device count"
-                f" ({self.num_devices}) for data-parallel sharding."
+                f"num_envs ({env.num_envs}) must be divisible by the data-axis size"
+                f" ({num_data_shards}) for data-parallel sharding."
             )
 
         # ---- RNG
@@ -123,7 +134,7 @@ class OnPolicyRunner:
         ts = self.alg.init_train_state(key_state, env.num_envs)
         cs = self.alg.init_collect_state_from(self._env_state0, obs, env.num_envs)
         if self.num_devices > 1:
-            ts = shard_tree(ts, replicated(self.mesh))
+            ts = self._shard_train_state(ts)
             cs = shard_tree(cs, data_sharding(self.mesh))
         self.train_state = ts
         self.collect_state = cs
@@ -381,6 +392,15 @@ class OnPolicyRunner:
 
     # ----------------------------------------------------------- checkpoints
 
+    def _shard_train_state(self, ts):
+        """Place the train state on the mesh: replicated (DP) or with MLP
+        trunks model-sharded when ``model_parallel_size > 1``."""
+        if self.model_parallel_size > 1:
+            from rsl_rl_tpu.parallel.tp import shard_tree_tp
+
+            return shard_tree_tp(ts, self.mesh)
+        return shard_tree(ts, replicated(self.mesh))
+
     def save(self, path: str, infos=None) -> None:
         """Save the train state (reference on_policy_runner.py:289-305).
 
@@ -460,7 +480,7 @@ class OnPolicyRunner:
             ts = ts.replace(it=jnp.asarray(loaded["iter"], jnp.int32))
         ts = jax.tree.map(jnp.asarray, ts)
         if self.num_devices > 1:
-            ts = shard_tree(ts, replicated(self.mesh))
+            ts = self._shard_train_state(ts)
         self.train_state = ts
         return loaded["infos"]
 

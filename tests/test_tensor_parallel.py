@@ -60,6 +60,50 @@ class TestSpecAssignment:
             make_tp_mesh(3, jax.devices()[:2])
 
 
+class TestRunnerConfig:
+    def test_model_parallel_size_trains_identically(self):
+        """`model_parallel_size: 2` in the runner config must produce the
+        same training trajectory as the default data-parallel runner —
+        sharding is placement, never math."""
+        from rsl_rl_tpu.env import PointMass
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        def run(extra_cfg):
+            cfg = {
+                "num_steps_per_env": 8, "save_interval": 1000, "seed": 3,
+                "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+                "policy": {"class_name": "ActorCritic",
+                           "actor_hidden_dims": [16, 16],
+                           "critic_hidden_dims": [16, 16]},
+                "algorithm": {"class_name": "PPO"},
+                **extra_cfg,
+            }
+            runner = OnPolicyRunner(PointMass(num_envs=8), cfg, log_dir=None)
+            runner.learn(2)
+            return jax.device_get(runner.train_state.policy.params)
+
+        base = run({})
+        tp = run({"model_parallel_size": 2})
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+            base, tp,
+        )
+
+    def test_bad_model_parallel_size_raises(self):
+        from rsl_rl_tpu.env import PointMass
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        cfg = {
+            "num_steps_per_env": 8, "save_interval": 1000, "seed": 3,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16]},
+            "algorithm": {"class_name": "PPO"},
+            "model_parallel_size": 3,  # does not divide the 2 test devices
+        }
+        with pytest.raises(ValueError, match="must divide"):
+            OnPolicyRunner(PointMass(num_envs=8), cfg, log_dir=None)
+
+
 class TestTensorParallelConsistency:
     @pytest.mark.parametrize("variant", ["feedforward", "recurrent"])
     def test_replicated_vs_model_sharded_same_losses(self, variant):
