@@ -2,6 +2,7 @@
 
 from rsl_rl_tpu.env.brax_env import BraxVecEnv
 from rsl_rl_tpu.env.cartpole import CartPoleSwingUp
+from rsl_rl_tpu.env.hopper import Hopper
 from rsl_rl_tpu.env.host_env import GymVecEnv, HostVecEnv
 from rsl_rl_tpu.env.mjx_env import MJXEnv
 from rsl_rl_tpu.env.nlink import NLinkPendulum
@@ -22,6 +23,7 @@ __all__ = [
     "GymVecEnv",
     "MJXEnv",
     "NLinkPendulum",
+    "Hopper",
     "SparseGoalReach",
     "BraxVecEnv",
     "Reacher",

@@ -7,6 +7,7 @@ import pytest
 
 from rsl_rl_tpu.env import (
     CartPoleSwingUp,
+    Hopper,
     NLinkPendulum,
     PartiallyObservablePendulum,
     Pendulum,
@@ -23,6 +24,7 @@ ENVS = [
     lambda n: SparseGoalReach(num_envs=n, max_episode_length=50),
     lambda n: Reacher(num_envs=n, max_episode_length=50),
     lambda n: NLinkPendulum(num_envs=n, num_links=3, max_episode_length=50),
+    lambda n: Hopper(num_envs=n, max_episode_length=50),
     # per-env heterogeneous time limits (reference vec_env.py:30-36 allows a
     # scalar OR per-env tensor)
     lambda n: Pendulum(num_envs=n, max_episode_length=20 + 7 * (np.arange(n) % 5)),
@@ -261,6 +263,94 @@ class TestNLinkPhysics:
             ts, cs, rollout, cm = runner._collect(ts, cs)
             ts, cs, um = runner._update(ts, cs, rollout)
             heights.append(float(cm["extras/nlink/tip_height"]))
+        assert np.isfinite(float(um["Loss/value_function"]))
+        assert np.mean(heights[-10:]) > np.mean(heights[:10]), heights[:3] + heights[-3:]
+
+
+class TestHopperContact:
+    """Validate the unilateral spring-damper contact of the hopper env."""
+
+    def test_ballistic_in_flight(self):
+        """Above leg length there is no contact force: the body follows
+        projectile motion (semi-implicit Euler), thrust or not."""
+        env = Hopper(num_envs=2, max_episode_length=1000)
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        state = state.replace(z=jnp.asarray([2.0, 2.0]), v=jnp.asarray([1.0, 1.0]))
+        # one env thrusts mid-air, one does not -> identical motion
+        state2, _, _, _, _ = env.step(state, jnp.asarray([[1.0], [0.0]]))
+        np.testing.assert_allclose(
+            float(state2.z[0]), float(state2.z[1]), rtol=1e-6
+        )
+        # matches explicit semi-implicit Euler projectile integration
+        z, v = 2.0, 1.0
+        h = env.dt / env.n_substeps
+        for _ in range(env.n_substeps):
+            v -= h * env.g
+            z += h * v
+        np.testing.assert_allclose(float(state2.z[0]), z, rtol=1e-6)
+
+    def test_passive_drop_bounces_and_decays(self):
+        """Dropped with no thrust, the body bounces on the leg spring and
+        successive apexes decay (damping removes energy)."""
+        env = Hopper(num_envs=1, max_episode_length=100_000)
+        state, _ = env.reset(jax.random.PRNGKey(1))
+        state = state.replace(z=jnp.asarray([1.8]), v=jnp.asarray([0.0]))
+        step = jax.jit(env.step)
+        zs = []
+        for _ in range(300):
+            state, _, _, _, extras = step(state, jnp.zeros((1, 1)))
+            zs.append(float(state.z[0]))
+        zs = np.asarray(zs)
+        assert zs.min() < env.l0, "never made contact"
+        # find the first two flight apexes after the first bounce
+        apexes = [
+            zs[i] for i in range(1, len(zs) - 1)
+            if zs[i] > env.l0 and zs[i] >= zs[i - 1] and zs[i] >= zs[i + 1]
+        ]
+        assert len(apexes) >= 2, "did not rebound into flight"
+        assert apexes[1] < apexes[0], apexes[:2]
+        assert zs[-1] < 1.2  # settles toward rest on the spring
+
+    def test_contact_force_is_unilateral(self):
+        """The leg can push but never pull: during rebound above rest
+        length the only acceleration is gravity."""
+        env = Hopper(num_envs=1, max_episode_length=100_000)
+        state, _ = env.reset(jax.random.PRNGKey(2))
+        # moving up fast just above the contact threshold
+        state = state.replace(z=jnp.asarray([env.l0 + 0.01]), v=jnp.asarray([3.0]))
+        state2, _, _, _, _ = env.step(state, jnp.zeros((1, 1)))
+        dv = float(state2.v[0]) - 3.0
+        # fp32 cancellation in dv: loose relative tolerance
+        np.testing.assert_allclose(dv, -env.g * env.dt, rtol=1e-4)
+
+    def test_trains_ppo_smoke(self):
+        """PPO discovers stance-phase thrusting: mean height improves."""
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        env = Hopper(num_envs=32, max_episode_length=64)
+        cfg = {
+            "num_steps_per_env": 16,
+            "save_interval": 1000,
+            "seed": 5,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "policy": {
+                "class_name": "ActorCritic",
+                "actor_hidden_dims": [32],
+                "critic_hidden_dims": [32],
+            },
+            "algorithm": {
+                "class_name": "PPO",
+                "num_learning_epochs": 3,
+                "num_mini_batches": 2,
+            },
+        }
+        runner = OnPolicyRunner(env, cfg, log_dir=None)
+        ts, cs = runner.train_state, runner.collect_state
+        heights = []
+        for _ in range(40):
+            ts, cs, rollout, cm = runner._collect(ts, cs)
+            ts, cs, um = runner._update(ts, cs, rollout)
+            heights.append(float(cm["extras/hopper/height"]))
         assert np.isfinite(float(um["Loss/value_function"]))
         assert np.mean(heights[-10:]) > np.mean(heights[:10]), heights[:3] + heights[-3:]
 
