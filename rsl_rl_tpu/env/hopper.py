@@ -20,9 +20,11 @@ Stiff contact (k=2000) integrated with semi-implicit Euler over 10 substeps
 — the stiffness/substep ratio is what makes contact workloads expensive,
 reproduced here deliberately.
 
-Reward: normalized apex height (encourages hopping) minus thrust cost.
-Episodes end by time limit only (every done is a timeout — exercises the
-bootstrap path, reference ppo.py:160-164).
+Reward: normalized instantaneous height above rest length (paid every step,
+so time spent compressed in stance scores negative — hopping high and long
+maximizes return) minus a thrust cost. Episodes end by time limit only
+(every done is a timeout — exercises the bootstrap path,
+reference ppo.py:160-164).
 """
 
 from __future__ import annotations

@@ -113,8 +113,11 @@ class ActorCriticRecurrent(ActorCritic):
 
     def _mem_step(self, ps, which: str):
         mem = self.memory_a if which == "memory_a" else self.memory_c
-        params = {"params": ps.params[which]}
-        return lambda c, x: mem.apply(params, c, x)
+        params = ps.params[which]
+        # Memory.step honors compute_dtype with the SAME matmul-operand-cast
+        # scheme the fused replay kernels use, keeping act-time and
+        # replay-time trajectories identical under bf16
+        return lambda c, x: mem.step(params, c, x)
 
     def act(self, ps: PolicyState, obs, carry):
         x = self._actor_in(ps, obs)

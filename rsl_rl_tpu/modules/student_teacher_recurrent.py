@@ -122,8 +122,8 @@ class StudentTeacherRecurrent(StudentTeacher):
 
     def act(self, ps: PolicyState, obs, carry):
         x = self._student_in(ps, obs)
-        new_s, features = self.memory_s.apply(
-            {"params": ps.params["memory_s"]}, carry["student"], x
+        new_s, features = self.memory_s.step(
+            ps.params["memory_s"], carry["student"], x
         )
         mean = self.student.apply({"params": ps.params["student"]}, features)
         return mean, self._std(ps, mean), {**carry, "student": new_s}
@@ -132,16 +132,16 @@ class StudentTeacherRecurrent(StudentTeacher):
         x = self._teacher_in(ps, obs)
         new_t = carry["teacher"]
         if self.teacher_recurrent:
-            new_t, x = self.memory_t.apply(
-                {"params": jax.lax.stop_gradient(ps.aux["memory_t"])}, carry["teacher"], x
+            new_t, x = self.memory_t.step(
+                jax.lax.stop_gradient(ps.aux["memory_t"]), carry["teacher"], x
             )
         out = self.teacher.apply({"params": jax.lax.stop_gradient(ps.aux["teacher"])}, x)
         return jax.lax.stop_gradient(out), {**carry, "teacher": new_t}
 
     def act_inference(self, ps: PolicyState, obs, carry):
         x = self._student_in(ps, obs)
-        new_s, features = self.memory_s.apply(
-            {"params": ps.params["memory_s"]}, carry["student"], x
+        new_s, features = self.memory_s.step(
+            ps.params["memory_s"], carry["student"], x
         )
         mean = self.student.apply({"params": ps.params["student"]}, features)
         return mean, {**carry, "student": new_s}

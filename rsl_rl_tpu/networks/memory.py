@@ -49,14 +49,19 @@ class Memory(nn.Module):
     rnn_type: str = "lstm"
     num_layers: int = 1
     #: ``None`` = exact fp32. ``jnp.bfloat16`` = bf16 matmul operands with
-    #: fp32 params/state/accumulation on BOTH paths (flax cell ``dtype`` for
-    #: the scan, operand casts inside the Pallas kernels) — the same
-    #: mixed-precision scheme as ``MLP(dtype=bfloat16)``.
+    #: fp32 params/state/gate math on EVERY path (operand casts in the
+    #: explicit step math AND inside the Pallas kernels) — the same scheme as
+    #: ``MLP(dtype=bfloat16)``, and crucially *the same scheme at act time
+    #: and replay time*, so rollout log-probs equal replayed log-probs.
     compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, carry: Any, x: jax.Array) -> tuple[Any, jax.Array]:
-        """One recurrent step. ``x``: [N, D]; carry: tuple over layers."""
+        """One recurrent step (fp32 cells; param creation lives here).
+
+        Use :meth:`step` at call sites — it honors ``compute_dtype`` by
+        dispatching to the explicit mixed-precision step math.
+        """
         init = _torch_rnn_init(self.hidden_size)
         new_carry = []
         out = x
@@ -67,7 +72,6 @@ class Memory(nn.Module):
                     kernel_init=init,
                     recurrent_kernel_init=init,
                     bias_init=init,
-                    dtype=self.compute_dtype,
                     name=f"cell_{layer}",
                 )
             else:
@@ -76,18 +80,30 @@ class Memory(nn.Module):
                     kernel_init=init,
                     recurrent_kernel_init=init,
                     bias_init=init,
-                    dtype=self.compute_dtype,
                     name=f"cell_{layer}",
                 )
             layer_carry, out = cell(carry[layer], out)
-            if self.compute_dtype is not None:
-                # flax returns carry/out in compute dtype; state stays fp32
-                # (matches the Pallas kernels' fp32 scratch) and keeps the
-                # lax.scan carry dtype stable across steps
-                layer_carry = jax.tree.map(
-                    lambda a: a.astype(jnp.float32), layer_carry
-                )
-                out = out.astype(jnp.float32)
+            new_carry.append(layer_carry)
+        return tuple(new_carry), out
+
+    def step(self, params: Any, carry: Any, x: jax.Array) -> tuple[Any, jax.Array]:
+        """One recurrent step honoring ``compute_dtype``.
+
+        With ``compute_dtype=None`` this is exactly ``apply`` (flax cells,
+        fp32). Otherwise it runs the explicit per-gate math with matmul
+        operands cast to the compute dtype and fp32 accumulation/state —
+        bit-matching the scheme inside the fused Pallas replay kernels, so a
+        window replayed by the kernels reproduces the acting trajectory.
+        """
+        if self.compute_dtype is None:
+            return self.apply({"params": params}, carry, x)
+        step_fn = gru_step_mixed if self.rnn_type.lower() == "gru" else lstm_step_mixed
+        new_carry = []
+        out = x
+        for layer in range(self.num_layers):
+            layer_carry, out = step_fn(
+                params[f"cell_{layer}"], carry[layer], out, self.compute_dtype
+            )
             new_carry.append(layer_carry)
         return tuple(new_carry), out
 
@@ -146,9 +162,59 @@ class Memory(nn.Module):
                     )
                 finals.append(final)
             return out, tuple(finals)
-        apply_step = lambda c, x: self.apply({"params": params}, c, x)
+        apply_step = lambda c, x: self.step(params, c, x)
         final_carry, outs = memory_sequence_with_carry(apply_step, carry0, xs, resets)
         return outs, jax.lax.stop_gradient(final_carry)
+
+
+def _mm_mixed(a: jax.Array, w: jax.Array, dt) -> jax.Array:
+    """bf16-operand matmul with fp32 accumulation — identical to the
+    ``_mm`` helper inside the Pallas kernels (ops/pallas_rnn.py)."""
+    return jnp.dot(a.astype(dt), w.astype(dt), preferred_element_type=jnp.float32)
+
+
+def gru_step_mixed(p: dict, h, x: jax.Array, dt) -> tuple[Any, jax.Array]:
+    """One flax-``GRUCell``-equivalent step with mixed-precision matmuls.
+
+    Gate formulas mirror ``flax.linen.GRUCell`` (``ir/iz/in`` dense-i with
+    bias, ``hr/hz`` dense-h without, ``hn`` with); only the matmul operands
+    are cast to ``dt`` — gate math, bias adds, and the carry stay fp32,
+    exactly like the fused kernel's forward (pallas_rnn._fwd_kernel).
+    """
+    r = jax.nn.sigmoid(
+        _mm_mixed(x, p["ir"]["kernel"], dt) + p["ir"]["bias"]
+        + _mm_mixed(h, p["hr"]["kernel"], dt)
+    )
+    z = jax.nn.sigmoid(
+        _mm_mixed(x, p["iz"]["kernel"], dt) + p["iz"]["bias"]
+        + _mm_mixed(h, p["hz"]["kernel"], dt)
+    )
+    n = jnp.tanh(
+        _mm_mixed(x, p["in"]["kernel"], dt) + p["in"]["bias"]
+        + r * (_mm_mixed(h, p["hn"]["kernel"], dt) + p["hn"]["bias"])
+    )
+    h_new = (1.0 - z) * n + z * h
+    return h_new, h_new
+
+
+def lstm_step_mixed(p: dict, carry, x: jax.Array, dt) -> tuple[Any, jax.Array]:
+    """One flax-``OptimizedLSTMCell``-equivalent step with mixed-precision
+    matmuls (``ii/if/ig/io`` without bias, ``hi/hf/hg/ho`` with); same
+    operand-cast scheme as :func:`gru_step_mixed` and the LSTM kernel."""
+    c, h = carry
+    def gate(k):
+        return (
+            _mm_mixed(x, p[f"i{k}"]["kernel"], dt)
+            + _mm_mixed(h, p[f"h{k}"]["kernel"], dt)
+            + p[f"h{k}"]["bias"]
+        )
+    i = jax.nn.sigmoid(gate("i"))
+    f = jax.nn.sigmoid(gate("f"))
+    g = jnp.tanh(gate("g"))
+    o = jax.nn.sigmoid(gate("o"))
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return (c_new, h_new), h_new
 
 
 def mask_carry(carry: Any, reset_mask: jax.Array) -> Any:

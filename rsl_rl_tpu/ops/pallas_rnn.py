@@ -343,18 +343,7 @@ def gru_sequence(
     bi = jnp.concatenate(
         [cell_params["ir"]["bias"], cell_params["iz"]["bias"], cell_params["in"]["bias"]]
     )
-    xflat = xs.reshape(T * B, -1)
-    if compute_dtype is not None:
-        xproj = (
-            jnp.dot(
-                xflat.astype(compute_dtype),
-                wi.astype(compute_dtype),
-                preferred_element_type=jnp.float32,
-            )
-            + bi
-        )
-    else:
-        xproj = xflat @ wi + bi
+    xproj = _mm(xs.reshape(T * B, -1), wi, compute_dtype) + bi
     wh = jnp.concatenate(
         [cell_params["hr"]["kernel"], cell_params["hz"]["kernel"], cell_params["hn"]["kernel"]],
         axis=1,
@@ -627,13 +616,7 @@ def _lstm_call(cell_params, carry0, xs, resets, dt):
     T, B, _ = xs.shape
     order = ("i", "f", "g", "o")
     wi = jnp.concatenate([cell_params[f"i{k}"]["kernel"] for k in order], axis=1)
-    xflat = xs.reshape(T * B, -1)
-    if dt is not None:
-        xproj = jnp.dot(
-            xflat.astype(dt), wi.astype(dt), preferred_element_type=jnp.float32
-        )
-    else:
-        xproj = xflat @ wi
+    xproj = _mm(xs.reshape(T * B, -1), wi, dt)
     wh = jnp.concatenate([cell_params[f"h{k}"]["kernel"] for k in order], axis=1)
     bh = jnp.concatenate([cell_params[f"h{k}"]["bias"] for k in order])[None, :]
     H = wh.shape[0]

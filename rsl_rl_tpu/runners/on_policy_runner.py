@@ -93,6 +93,12 @@ class OnPolicyRunner:
         # (parallel/tp.py; no reference equivalent — the reference is
         # DDP-only, reference ppo.py:428-469).
         self.model_parallel_size = int(self.cfg.get("model_parallel_size", 1))
+        if self.model_parallel_size > 1 and not self.is_jax_env:
+            raise ValueError(
+                "model_parallel_size > 1 requires a JAX-native env: host envs"
+                " run the hybrid collection loop whose train state is never"
+                " mesh-sharded, so tensor parallelism would be silently inert."
+            )
         mesh_devices = None if device is None else [_resolve_device(device)]
         if self.model_parallel_size > 1:
             from rsl_rl_tpu.parallel.tp import make_tp_mesh

@@ -86,6 +86,22 @@ class TestBackward:
         )
 
 
+def _jit_acting_trajectory(mem, params, carry0, xs, resets):
+    """Unrolled per-step acting (Memory.step + mask_carry) under jit — the
+    precision-relevant shape of the real collect scan."""
+    from rsl_rl_tpu.networks.memory import mask_carry
+
+    def run(params, carry, xs, resets):
+        outs = []
+        for t in range(xs.shape[0]):
+            carry = mask_carry(carry, resets[t])
+            carry, out = mem.step(params, carry, xs[t])
+            outs.append(out)
+        return jnp.stack(outs)
+
+    return jax.jit(run)(params, carry0, xs, resets)
+
+
 def _pallas_path_bf16(mem, params, carry0, xs, resets):
     if mem.rnn_type == "gru":
         return pallas_rnn.gru_sequence(
@@ -134,18 +150,47 @@ class TestBf16Compute:
 
         jax.tree_util.tree_map_with_path(rel_l2, want, got)
 
-    def test_memory_scan_path_accepts_bf16(self, setup):
-        """The flax-cell fallback with compute_dtype set must run and stay
-        close to fp32 (it rounds at different points than the kernels)."""
+    def test_acting_step_matches_bf16_kernel_replay(self, setup):
+        """CRITICAL PPO invariant: the act-time per-step path
+        (``Memory.step`` with compute_dtype) and the fused-kernel replay must
+        compute the SAME trajectory under bf16 — otherwise replayed
+        log-probs drift from behavior log-probs and phantom KL leaks into
+        the adaptive-LR schedule. Both use identical operand-cast matmuls
+        with fp32 state, so the tolerance is fp32-tight, not bf16-loose."""
         mem, params, carry0, xs, resets = setup
         mem16 = Memory(
             hidden_size=H, rnn_type=mem.rnn_type, num_layers=1,
             compute_dtype=jnp.bfloat16,
         )
-        want = _scan_path(mem, params, carry0, xs, resets)
-        got = _scan_path(mem16, params, carry0, xs, resets)
-        assert got.dtype == jnp.float32  # carries/outputs cast back to fp32
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-2, atol=3e-2)
+        # act-time trajectory: step-by-step with done-masked resets, jitted
+        # like the real collect scan (in-jit XLA may fuse the operand casts
+        # differently than eager execution, and in-jit is what ships)
+        want = _jit_acting_trajectory(mem16, params, carry0, xs, resets)
+        assert want.dtype == jnp.float32
+        with pltpu.force_tpu_interpret_mode():
+            got = _pallas_path_bf16(mem16, params, carry0, xs, resets)
+        # ulp-level op-ordering differences amplify through the recurrence;
+        # tolerance stays ~60x tighter than the bf16-vs-fp32 error scale
+        # (3e-2), which is what distinguishes same-scheme from cross-scheme
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=5e-4)
+
+    def test_scan_fallback_matches_acting_by_construction(self, setup):
+        """The non-kernel replay fallback routes through the same
+        Memory.step, so replay == acting holds on every backend."""
+        mem, params, carry0, xs, resets = setup
+        mem16 = Memory(
+            hidden_size=H, rnn_type=mem.rnn_type, num_layers=1,
+            compute_dtype=jnp.bfloat16,
+        )
+        # Memory.sequence on CPU takes the scan fallback (gate needs TPU)
+        seq = jax.jit(lambda p, c, x, r: mem16.sequence(p, c, x, r))(
+            params, carry0, xs, resets
+        )
+        want = _jit_acting_trajectory(mem16, params, carry0, xs, resets)
+        # same ops; jit fusion may reorder fp32 rounding at the ulp level
+        np.testing.assert_allclose(
+            np.asarray(seq), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
 
 
 class TestVmemGate:
