@@ -38,7 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_block_b(batch: int, max_bb: int = 512) -> int | None:
-    """Largest batch block <= max_bb that tiles the batch and the VPU lanes."""
+    """Largest batch block <= max_bb that tiles the batch and the VPU lanes.
+
+    Measured on v5e (GRU H=256, B=1024, T=24 fwd): BB=512 1.24 ms,
+    BB=1024 1.80 ms — the batch-block grid dimension is what overlaps the
+    per-step xproj DMA with compute, so one whole-batch block exposes the
+    stream latency. Per-grid-step fixed overhead is ~20 us (the kernel runs
+    ~6x off the pure-matmul roofline at this size); if that is ever worth
+    chasing, process multiple timesteps per grid step rather than growing
+    the batch block.
+    """
     for bb in (512, 256, 128):
         if bb <= max_bb and batch % bb == 0:
             return bb
