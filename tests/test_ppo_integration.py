@@ -113,6 +113,32 @@ class TestLearning:
         assert float(cm["Rnd/weight"]) == pytest.approx(0.5 * env.step_dt)
 
 
+class TestBf16ConfigPath:
+    """`policy: {dtype: bfloat16}` arrives from YAML as a STRING — the whole
+    stack (MLP trunks, recurrent memories, mixed-precision step math, Pallas
+    operand casts) must accept it end-to-end."""
+
+    @pytest.mark.parametrize("policy_cfg", [
+        {"class_name": "ActorCritic", "actor_hidden_dims": [32],
+         "critic_hidden_dims": [32], "dtype": "bfloat16"},
+        {"class_name": "ActorCriticRecurrent", "rnn_type": "gru",
+         "rnn_hidden_dim": 16, "actor_hidden_dims": [32],
+         "critic_hidden_dims": [32], "dtype": "bfloat16"},
+    ])
+    def test_string_dtype_trains(self, policy_cfg):
+        env = PointMass(num_envs=8, max_episode_length=16)
+        cfg = _runner_cfg(policy=policy_cfg)
+        runner = OnPolicyRunner(env, cfg, log_dir=None)
+        ts, cs = runner.train_state, runner.collect_state
+        for _ in range(2):
+            ts, cs, rollout, cm = runner._collect(ts, cs)
+            ts, cs, um = runner._update(ts, cs, rollout)
+        assert np.isfinite(float(um["Loss/value_function"]))
+        # params stay fp32 (bf16 is compute-only)
+        leaf = jax.tree.leaves(ts.policy.params)[0]
+        assert leaf.dtype == jnp.float32
+
+
 class TestDataParallelConsistency:
     """The same seed must give (numerically) identical training on 1 and 2
     devices — data parallelism is pure sharding (SURVEY.md §4.3). Covers every
