@@ -21,7 +21,12 @@ def _losses(um, i=None):
 
 
 class TestMultiseed:
-    @pytest.mark.parametrize("variant", ["feedforward", "recurrent"])
+    @pytest.mark.parametrize("variant", [
+        "feedforward", "recurrent",
+        # rnd vmaps the RND pytree (per-env reward_norm, counter);
+        # distillation vmaps the chunked segmented-BPTT update
+        "rnd", "distillation",
+    ])
     def test_vmapped_seeds_match_standalone_runs(self, variant):
         import __graft_entry__ as graft
 
