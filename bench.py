@@ -30,6 +30,7 @@ BASELINE.json (which targets a v4-16 pod slice; this runs on a single chip).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -136,6 +137,8 @@ def measure(env, recurrent: bool = False, dtype=None) -> dict:
 
 
 def main() -> None:
+    import threading
+
     import jax.numpy as jnp
 
     from rsl_rl_tpu.env import NLinkPendulum, Pendulum
@@ -147,31 +150,46 @@ def main() -> None:
     physics_bf16 = measure(
         NLinkPendulum(num_envs=NUM_ENVS, num_links=5), dtype=jnp.bfloat16
     )
+    result = {
+        "metric": "ppo_env_steps_per_s_4096envs_nlink5_physics_bf16",
+        "value": round(physics_bf16["steps_per_s"], 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(physics_bf16["steps_per_s"] / NORTH_STAR, 4),
+        "collect_s_per_iter": round(physics_bf16["collect_s"], 5),
+        "learn_s_per_iter": round(physics_bf16["learn_s"], 5),
+    }
+
+    # The remaining workloads are context, not the headline. The tunneled
+    # TPU backend occasionally wedges (a blocked device_get cannot be
+    # interrupted), so a watchdog flushes the headline and exits rather than
+    # losing the whole run to a hung extra.
+    def _bail():
+        result["extras_skipped"] = "watchdog: extra workloads exceeded 600s"
+        print(json.dumps(result), flush=True)
+        os._exit(0)
+
+    watchdog = threading.Timer(600.0, _bail)
+    watchdog.daemon = True
+    watchdog.start()
     physics = measure(NLinkPendulum(num_envs=NUM_ENVS, num_links=5))
     toy = measure(Pendulum(num_envs=NUM_ENVS))
     recurrent = measure(NLinkPendulum(num_envs=NUM_ENVS, num_links=5), recurrent=True)
+    watchdog.cancel()
 
-    print(
-        json.dumps(
-            {
-                "metric": "ppo_env_steps_per_s_4096envs_nlink5_physics_bf16",
-                "value": round(physics_bf16["steps_per_s"], 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(physics_bf16["steps_per_s"] / NORTH_STAR, 4),
-                "collect_s_per_iter": round(physics_bf16["collect_s"], 5),
-                "learn_s_per_iter": round(physics_bf16["learn_s"], 5),
-                "fp32_env_steps_per_s": round(physics["steps_per_s"], 1),
-                "fp32_collect_s_per_iter": round(physics["collect_s"], 5),
-                "fp32_learn_s_per_iter": round(physics["learn_s"], 5),
-                "toy_pendulum_env_steps_per_s": round(toy["steps_per_s"], 1),
-                "toy_collect_s_per_iter": round(toy["collect_s"], 5),
-                "toy_learn_s_per_iter": round(toy["learn_s"], 5),
-                "recurrent_gru256_env_steps_per_s": round(recurrent["steps_per_s"], 1),
-                "recurrent_collect_s_per_iter": round(recurrent["collect_s"], 5),
-                "recurrent_learn_s_per_iter": round(recurrent["learn_s"], 5),
-            }
-        )
+    result.update(
+        {
+            "fp32_env_steps_per_s": round(physics["steps_per_s"], 1),
+            "fp32_collect_s_per_iter": round(physics["collect_s"], 5),
+            "fp32_learn_s_per_iter": round(physics["learn_s"], 5),
+            "toy_pendulum_env_steps_per_s": round(toy["steps_per_s"], 1),
+            "toy_collect_s_per_iter": round(toy["collect_s"], 5),
+            "toy_learn_s_per_iter": round(toy["learn_s"], 5),
+            "recurrent_gru256_env_steps_per_s": round(recurrent["steps_per_s"], 1),
+            "recurrent_collect_s_per_iter": round(recurrent["collect_s"], 5),
+            "recurrent_learn_s_per_iter": round(recurrent["learn_s"], 5),
+        }
     )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
