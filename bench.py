@@ -161,35 +161,58 @@ def main() -> None:
 
     # The remaining workloads are context, not the headline. The tunneled
     # TPU backend occasionally wedges (a blocked device_get cannot be
-    # interrupted), so a watchdog flushes the headline and exits rather than
-    # losing the whole run to a hung extra.
+    # interrupted) and can raise transient RPC errors, so the headline is
+    # flushed exactly once no matter how the extras end: normally, on a
+    # watchdog timeout, or on an exception. The lock serializes the timer
+    # thread against result.update()/the final print.
+    lock = threading.Lock()
+    flushed = [False]
+
+    def _flush(skip_reason: str | None = None) -> None:
+        with lock:
+            if flushed[0]:
+                return
+            flushed[0] = True
+            if skip_reason is not None:
+                result["extras_skipped"] = skip_reason
+            print(json.dumps(result), flush=True)
+
     def _bail():
-        result["extras_skipped"] = "watchdog: extra workloads exceeded 600s"
-        print(json.dumps(result), flush=True)
+        _flush("watchdog: extra workloads exceeded 600s")
         os._exit(0)
 
     watchdog = threading.Timer(600.0, _bail)
     watchdog.daemon = True
     watchdog.start()
-    physics = measure(NLinkPendulum(num_envs=NUM_ENVS, num_links=5))
-    toy = measure(Pendulum(num_envs=NUM_ENVS))
-    recurrent = measure(NLinkPendulum(num_envs=NUM_ENVS, num_links=5), recurrent=True)
-    watchdog.cancel()
+    try:
+        physics = measure(NLinkPendulum(num_envs=NUM_ENVS, num_links=5))
+        toy = measure(Pendulum(num_envs=NUM_ENVS))
+        recurrent = measure(
+            NLinkPendulum(num_envs=NUM_ENVS, num_links=5), recurrent=True
+        )
+    except Exception as e:  # headline survives a failed extra
+        _flush(f"extras failed: {type(e).__name__}: {e}")
+        return
+    finally:
+        watchdog.cancel()
 
-    result.update(
-        {
-            "fp32_env_steps_per_s": round(physics["steps_per_s"], 1),
-            "fp32_collect_s_per_iter": round(physics["collect_s"], 5),
-            "fp32_learn_s_per_iter": round(physics["learn_s"], 5),
-            "toy_pendulum_env_steps_per_s": round(toy["steps_per_s"], 1),
-            "toy_collect_s_per_iter": round(toy["collect_s"], 5),
-            "toy_learn_s_per_iter": round(toy["learn_s"], 5),
-            "recurrent_gru256_env_steps_per_s": round(recurrent["steps_per_s"], 1),
-            "recurrent_collect_s_per_iter": round(recurrent["collect_s"], 5),
-            "recurrent_learn_s_per_iter": round(recurrent["learn_s"], 5),
-        }
-    )
-    print(json.dumps(result))
+    with lock:
+        if not flushed[0]:
+            result.update(
+                {
+                    "fp32_env_steps_per_s": round(physics["steps_per_s"], 1),
+                    "fp32_collect_s_per_iter": round(physics["collect_s"], 5),
+                    "fp32_learn_s_per_iter": round(physics["learn_s"], 5),
+                    "toy_pendulum_env_steps_per_s": round(toy["steps_per_s"], 1),
+                    "toy_collect_s_per_iter": round(toy["collect_s"], 5),
+                    "toy_learn_s_per_iter": round(toy["learn_s"], 5),
+                    "recurrent_gru256_env_steps_per_s": round(recurrent["steps_per_s"], 1),
+                    "recurrent_collect_s_per_iter": round(recurrent["collect_s"], 5),
+                    "recurrent_learn_s_per_iter": round(recurrent["learn_s"], 5),
+                }
+            )
+            flushed[0] = True
+            print(json.dumps(result))
 
 
 if __name__ == "__main__":

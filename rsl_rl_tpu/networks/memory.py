@@ -5,7 +5,10 @@ TPU-native counterpart of the reference ``Memory`` wrapper
 states as module attributes, mutates them per step, and replays padded
 trajectory batches for BPTT. Here hidden state is an explicit carry pytree:
 
-- single-step inference: ``Memory.apply(params, carry, x)``,
+- single-step acting/inference: ``Memory.step(params, carry, x)`` — NOT
+  raw ``apply``: ``step`` honors ``compute_dtype`` with the same
+  matmul-operand-cast scheme as the fused replay kernels, keeping act-time
+  and replay-time trajectories identical under bf16,
 - BPTT replay: ``memory_sequence`` runs a time-major ``lax.scan`` with
   done-masked carry resets, which reproduces the reference's
   split-and-pad-trajectories replay exactly (a trajectory that starts
@@ -87,7 +90,9 @@ class Memory(nn.Module):
         return tuple(new_carry), out
 
     def step(self, params: Any, carry: Any, x: jax.Array) -> tuple[Any, jax.Array]:
-        """One recurrent step honoring ``compute_dtype``.
+        """One recurrent step honoring ``compute_dtype`` — the acting-mode
+        forward (reference: rsl_rl/networks/memory.py:27-38, the
+        ``hidden_states is not None`` inference branch).
 
         With ``compute_dtype=None`` this is exactly ``apply`` (flax cells,
         fp32). Otherwise it runs the explicit per-gate math with matmul
@@ -174,7 +179,9 @@ def _mm_mixed(a: jax.Array, w: jax.Array, dt) -> jax.Array:
 
 
 def gru_step_mixed(p: dict, h, x: jax.Array, dt) -> tuple[Any, jax.Array]:
-    """One flax-``GRUCell``-equivalent step with mixed-precision matmuls.
+    """One flax-``GRUCell``-equivalent step with mixed-precision matmuls
+    (the bf16 variant of the reference's GRU single-step forward,
+    reference memory.py:27-38 via torch ``nn.GRU``).
 
     Gate formulas mirror ``flax.linen.GRUCell`` (``ir/iz/in`` dense-i with
     bias, ``hr/hz`` dense-h without, ``hn`` with); only the matmul operands
@@ -200,7 +207,9 @@ def gru_step_mixed(p: dict, h, x: jax.Array, dt) -> tuple[Any, jax.Array]:
 def lstm_step_mixed(p: dict, carry, x: jax.Array, dt) -> tuple[Any, jax.Array]:
     """One flax-``OptimizedLSTMCell``-equivalent step with mixed-precision
     matmuls (``ii/if/ig/io`` without bias, ``hi/hf/hg/ho`` with); same
-    operand-cast scheme as :func:`gru_step_mixed` and the LSTM kernel."""
+    operand-cast scheme as :func:`gru_step_mixed` and the LSTM kernel (the
+    bf16 variant of the reference's LSTM single-step forward,
+    reference memory.py:27-38 via torch ``nn.LSTM``)."""
     c, h = carry
     def gate(k):
         return (
