@@ -40,13 +40,13 @@ from jax.experimental.pallas import tpu as pltpu
 def _pick_block_b(batch: int, max_bb: int = 512) -> int | None:
     """Largest batch block <= max_bb that tiles the batch and the VPU lanes.
 
-    Measured on v5e (GRU H=256, B=1024, T=24 fwd): BB=512 1.24 ms,
-    BB=1024 1.80 ms — the batch-block grid dimension is what overlaps the
-    per-step xproj DMA with compute, so one whole-batch block exposes the
-    stream latency. Per-grid-step fixed overhead is ~20 us (the kernel runs
-    ~6x off the pure-matmul roofline at this size); if that is ever worth
-    chasing, process multiple timesteps per grid step rather than growing
-    the batch block.
+    Measured on v5e (GRU H=256, B=1024, T=24 fwd, ~0.43 ms tunnel dispatch
+    overhead per standalone call subtracted): BB=512 is optimal — BB=1024
+    runs ~0.55 ms slower because the batch-block grid dimension is what
+    overlaps the per-step xproj DMA with compute, so one whole-batch block
+    exposes the stream latency. Marginal cost is ~12 us/timestep vs ~8 us
+    of pure matmul (near-roofline); the remaining fixed ~0.5 ms/call is
+    pipeline warmup + the one-shot input projection.
     """
     for bb in (512, 256, 128):
         if bb <= max_bb and batch % bb == 0:
