@@ -66,8 +66,16 @@ def main() -> None:
                     )
                 )
             per_dev[ndev] = losses
+        # allclose-style mixed tolerance: a purely relative criterion is
+        # ill-conditioned when a loss passes near zero (a 2e-7 absolute
+        # reduction-order difference on a 1e-4 surrogate is noise, not
+        # inconsistency)
         max_rel = max(
             abs(a - b) / (abs(a) + 1e-9)
+            for a, b in zip(per_dev[1], per_dev[args.devices])
+        )
+        consistent = all(
+            abs(a - b) <= 1e-5 + 1e-3 * abs(a)
             for a, b in zip(per_dev[1], per_dev[args.devices])
         )
         results.append(
@@ -77,10 +85,10 @@ def main() -> None:
                 "losses_1dev": per_dev[1],
                 f"losses_{args.devices}dev": per_dev[args.devices],
                 "max_rel_diff": max_rel,
-                "consistent": max_rel < 1e-3,
+                "consistent": consistent,
             }
         )
-        print(f"{variant}: max_rel_diff={max_rel:.2e} consistent={max_rel < 1e-3}")
+        print(f"{variant}: max_rel_diff={max_rel:.2e} consistent={consistent}")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
