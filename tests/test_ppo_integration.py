@@ -148,10 +148,22 @@ class TestDataParallelConsistency:
     matching the reference's dedicated grad-allreduce at
     reference distillation.py:157-185)."""
 
-    @pytest.mark.parametrize("variant", [
+    # keep literal (pytest ids stay stable); the sync test below fails if
+    # __graft_entry__.VARIANTS gains a variant this list doesn't cover
+    VARIANT_LIST = [
         "feedforward", "recurrent", "rnd", "symmetry_feedforward",
         "symmetry_recurrent", "distillation", "distillation_recurrent",
-    ])
+    ]
+
+    def test_covers_every_guaranteed_variant(self):
+        import __graft_entry__ as graft
+
+        assert set(self.VARIANT_LIST) == set(graft.VARIANTS), (
+            "a new guaranteed variant must be added to the 1-vs-2-device"
+            " consistency parametrization"
+        )
+
+    @pytest.mark.parametrize("variant", VARIANT_LIST)
     def test_1dev_vs_2dev_same_losses(self, variant):
         import __graft_entry__ as graft
         from rsl_rl_tpu.parallel.mesh import (
