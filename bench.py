@@ -179,7 +179,10 @@ def main() -> None:
 
     def _bail():
         _flush("watchdog: extra workloads exceeded 600s")
-        os._exit(0)
+        # distinct exit code: the headline was printed but the extras were
+        # cut short — automation can detect the degraded run without parsing
+        # the JSON (exit 0 is reserved for a fully clean run)
+        os._exit(3)
 
     watchdog = threading.Timer(600.0, _bail)
     watchdog.daemon = True
@@ -192,7 +195,7 @@ def main() -> None:
         )
     except Exception as e:  # headline survives a failed extra
         _flush(f"extras failed: {type(e).__name__}: {e}")
-        return
+        raise SystemExit(3)  # degraded run: headline only
     finally:
         watchdog.cancel()
 

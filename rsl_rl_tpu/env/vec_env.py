@@ -104,6 +104,7 @@ class VecEnv(abc.ABC):
         maxlen = jnp.broadcast_to(
             jnp.asarray(self.max_episode_length, jnp.int32), (self.num_envs,)
         )
-        u = jax.random.uniform(key, (self.num_envs,))
-        lengths = jnp.floor(u * maxlen.astype(jnp.float32)).astype(jnp.int32)
+        # randint keeps exact integer bounds for per-env limits (a float32
+        # uniform*maxlen detour can round up to maxlen for limits >~2^24)
+        lengths = jax.random.randint(key, (self.num_envs,), 0, maxlen)
         return state.replace(episode_length=lengths)

@@ -449,9 +449,21 @@ class OnPolicyRunner:
             loaded_model = serialization.from_state_dict(
                 ts.policy, loaded["model"], name="model"
             )
-        except (KeyError, ValueError):
-            # structurally different model state: the teacher-bootstrap case —
-            # load_state_dict remaps the raw state dict itself
+        except (KeyError, ValueError) as err:
+            # Only a structurally DIFFERENT model state is the
+            # teacher-bootstrap case (load_state_dict remaps the raw dict
+            # itself). A state dict whose top-level structure matches the
+            # current policy but still fails to restore is a corrupted or
+            # shape-incompatible checkpoint — surface that directly instead
+            # of rerouting it into the bootstrap remap path.
+            own_keys = set(serialization.to_state_dict(ts.policy))
+            if isinstance(loaded["model"], dict) and set(loaded["model"]) == own_keys:
+                raise ValueError(
+                    f"Checkpoint {path!r} has this policy's structure but its"
+                    f" 'model' entry failed to restore ({err}); the checkpoint"
+                    " is corrupted or shape-incompatible with the configured"
+                    " policy."
+                ) from err
             loaded_model = loaded["model"]
         new_policy, resumed = self.alg.policy.load_state_dict(ts.policy, loaded_model)
         if resumed:

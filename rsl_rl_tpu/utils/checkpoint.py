@@ -83,8 +83,12 @@ def load_checkpoint(path: str, target: dict | None = None) -> dict:
         raise FileNotFoundError(f"No checkpoint at {path}")
     if not os.path.isdir(path):
         raise ValueError(
-            f"{path} is not an rsl_rl_tpu checkpoint directory (round-1 pickle"
-            " checkpoints are no longer supported)."
+            f"{path} is a file, not an rsl_rl_tpu checkpoint directory. The"
+            " checkpoint format is an orbax directory of pure state dicts;"
+            " legacy single-file pickle checkpoints (pre-orbax) cannot be"
+            " loaded — re-save the run with a current version, or rebuild the"
+            " state dict offline (pickle.load the file in a trusted"
+            " environment and save_checkpoint(path, state) it)."
         )
     try:
         raw = _checkpointer().restore(path)

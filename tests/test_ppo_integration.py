@@ -188,10 +188,19 @@ class TestDataParallelConsistency:
             for _ in range(3):
                 ts, cs, rollout, cm = collect(ts, cs)
                 ts, cs, um = update(ts, cs, rollout)
-                losses.append(sum(float(v) for k, v in um.items()
-                                  if k.startswith("Loss/") and k != "Loss/learning_rate"))
+                losses.append({k: float(v) for k, v in um.items()
+                               if k.startswith("Loss/")})
             results[ndev] = losses
-        np.testing.assert_allclose(results[1], results[2], rtol=1e-4)
+        # per-key, per-step comparison (a summed criterion could hide
+        # compensating per-term differences); mixed abs+rel tolerance since a
+        # purely relative one is ill-conditioned near zero
+        for step_1dev, step_2dev in zip(results[1], results[2]):
+            assert set(step_1dev) == set(step_2dev)
+            for k, a in step_1dev.items():
+                b = step_2dev[k]
+                assert abs(a - b) <= 1e-5 + 1e-3 * abs(a), (
+                    f"{k}: 1-device {a} vs 2-device {b}"
+                )
 
 
 class TestCheckpointing:
