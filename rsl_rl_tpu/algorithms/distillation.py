@@ -171,12 +171,22 @@ class Distillation:
 
     # ---------------------------------------------------------- host collect
 
-    def make_host_collect_fn(self, env, num_steps_per_env: int) -> Callable:
+    def make_host_collect_fn(self, env, num_steps_per_env: int, bridge=None) -> Callable:
         """Collection loop for host (non-JAX) environments — hybrid analog of
-        the reference's rollout (distillation_runner.py:94-111)."""
+        the reference's rollout (distillation_runner.py:94-111). With a
+        ``HostShardingBridge``, ``env`` is this process's local shard and
+        every jitted step runs globally over the data-sharded batch (see
+        ``PPO.make_host_collect_fn``)."""
         import numpy as np
 
         policy = self.policy
+
+        if bridge is None:
+            to_device = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+            to_host = np.asarray
+        else:
+            to_device = bridge.to_global
+            to_host = bridge.to_local_np
 
         @jax.jit
         def act_step(ps, obs, carry, key):
@@ -204,21 +214,23 @@ class Distillation:
             zero_irew = np.zeros((env.num_envs,), np.float32)
             for _ in range(num_steps_per_env):
                 action, privileged, std_mean, carry, key = act_step(ps, obs, carry, key)
-                next_obs, rew_np, done_np, extras = env.step(np.asarray(action))
-                next_obs = {k: jnp.asarray(v) for k, v in next_obs.items()}
-                done = jnp.asarray(done_np)
+                next_obs, rew_np, done_np, extras = env.step(to_host(action))
+                next_obs = to_device({k: np.asarray(v) for k, v in next_obs.items()})
+                done = to_device(np.asarray(done_np))
                 ps, carry = process_step(ps, next_obs, done, carry)
 
                 traj["obs"].append(obs)
                 traj["actions"].append(action)
                 traj["privileged_actions"].append(privileged)
-                traj["rewards"].append(jnp.asarray(rew_np, jnp.float32))
+                traj["rewards"].append(to_device(np.asarray(rew_np, np.float32)))
                 traj["dones"].append(done)
                 stds.append(std_mean)
                 obs = next_obs
                 tracker.step(np.asarray(rew_np), zero_irew, done_np, extras)
 
             stacked = stack_trajectory(traj)
+            if bridge is not None:
+                stacked = bridge.constrain_time_major(stacked)
             rollout = Rollout(
                 **stacked, carry0=carry0 if policy.is_recurrent else None
             )

@@ -338,19 +338,36 @@ class PPO:
 
     # ---------------------------------------------------------- host collect
 
-    def make_host_collect_fn(self, env, num_steps_per_env: int) -> Callable:
+    def make_host_collect_fn(self, env, num_steps_per_env: int, bridge=None) -> Callable:
         """Collection loop for host (non-JAX) environments.
 
         The hybrid analog of the reference's per-step host<->device copies
         (reference on_policy_runner.py:100-139): policy forward and step
         processing are jitted, the env steps on host, and the rollout is
         stacked onto device for the (unchanged) jitted update.
+
+        With a :class:`~rsl_rl_tpu.parallel.host_dp.HostShardingBridge` the
+        same loop trains data-parallel: ``env`` is this process's LOCAL env
+        shard, every jitted step runs as a global program over the
+        data-sharded global batch (so e.g. the normalizer's batch mean is a
+        global mean via XLA collectives — math identical to a single-process
+        run), and the stacked rollout feeds the unchanged global update. The
+        TPU-native counterpart of the reference's per-rank simulators +
+        gradient allreduce (reference on_policy_runner.py:353-395,
+        ppo.py:441-469).
         """
         import numpy as np
 
         policy = self.policy
         rnd = self.rnd
         gamma = self.gamma
+
+        if bridge is None:
+            to_device = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+            to_host = np.asarray
+        else:
+            to_device = bridge.to_global
+            to_host = bridge.to_local_np
 
         @jax.jit
         def act_step(ps, obs, carry, key):
@@ -383,13 +400,13 @@ class PPO:
                                     "log_probs", "mu", "sigma")}
             for _ in range(num_steps_per_env):
                 action, value, log_p, mean, std, carry, key = act_step(ps, obs, carry, key)
-                next_obs, rew_np, done_np, extras = env.step(np.asarray(action))
-                rew = jnp.asarray(rew_np, jnp.float32)
-                done = jnp.asarray(done_np)
-                time_outs = jnp.asarray(
-                    extras.get("time_outs", np.zeros_like(done_np)), jnp.float32
+                next_obs, rew_np, done_np, extras = env.step(to_host(action))
+                rew = to_device(np.asarray(rew_np, np.float32))
+                done = to_device(np.asarray(done_np))
+                time_outs = to_device(
+                    np.asarray(extras.get("time_outs", np.zeros_like(done_np)), np.float32)
                 )
-                next_obs = {k: jnp.asarray(v) for k, v in next_obs.items()}
+                next_obs = to_device({k: np.asarray(v) for k, v in next_obs.items()})
                 ps, rnd_state, total_rew, irew_dev, carry = process_step(
                     ps, rnd_state, next_obs, value, rew, time_outs, done, carry
                 )
@@ -403,9 +420,11 @@ class PPO:
                 traj["mu"].append(mean)
                 traj["sigma"].append(std)
                 obs = next_obs
-                tracker.step(rew_np, np.asarray(irew_dev), done_np, extras)
+                tracker.step(np.asarray(rew_np), to_host(irew_dev), done_np, extras)
 
             stacked = stack_trajectory(traj)
+            if bridge is not None:
+                stacked = bridge.constrain_time_major(stacked)
             rollout = Rollout(
                 **stacked, carry0=carry0 if policy.is_recurrent else None
             )

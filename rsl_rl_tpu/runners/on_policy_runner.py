@@ -106,14 +106,28 @@ class OnPolicyRunner:
             self.mesh = make_tp_mesh(self.model_parallel_size, mesh_devices)
         else:
             self.mesh = make_mesh(mesh_devices)
-        self.num_devices = len(self.mesh.devices.flatten()) if self.is_jax_env else 1
-        num_data_shards = (
-            self.mesh.shape.get("data", 1) if self.is_jax_env else 1
+        self.num_devices = len(self.mesh.devices.flatten())
+        num_data_shards = self.mesh.shape.get("data", 1)
+
+        # Host (non-JAX) envs train data-parallel through a sharding bridge:
+        # each process steps its LOCAL env shard, jitted steps run globally
+        # over the data-sharded batch (the TPU analog of the reference's
+        # per-rank simulators + gradient allreduce, on_policy_runner.py:353-395,
+        # ppo.py:441-469). env.num_envs is the PER-PROCESS count; the global
+        # batch is num_envs * process_count.
+        self._host_bridge = None
+        if not self.is_jax_env and (self.num_devices > 1 or jax.process_count() > 1):
+            from rsl_rl_tpu.parallel.host_dp import HostShardingBridge
+
+            self._host_bridge = HostShardingBridge(self.mesh)
+        self.num_global_envs = env.num_envs * (
+            jax.process_count() if not self.is_jax_env else 1
         )
-        if env.num_envs % num_data_shards != 0:
+        if self.num_global_envs % num_data_shards != 0:
             raise ValueError(
-                f"num_envs ({env.num_envs}) must be divisible by the data-axis size"
-                f" ({num_data_shards}) for data-parallel sharding."
+                f"global env count ({self.num_global_envs}) must be divisible by"
+                f" the data-axis size ({num_data_shards}) for data-parallel"
+                " sharding."
             )
 
         # ---- RNG
@@ -125,9 +139,13 @@ class OnPolicyRunner:
         # (reference on_policy_runner.py:40-44)
         if self.is_jax_env:
             self._env_state0, obs = env.reset(key_env)
+            obs_local = None
         else:
             self._env_state0 = ()
-            obs = {k: jnp.asarray(v) for k, v in env.reset(seed=seed).items()}
+            # seed offset by process index: each process's env shard must
+            # explore independently (reference: per-rank seeding via LOCAL_RANK)
+            obs_local = env.reset(seed=seed + jax.process_index())
+            obs = {k: jnp.asarray(v) for k, v in obs_local.items()}
         default_sets = ["critic"] if self.training_type == "rl" else ["teacher"]
         if self.training_type == "rl" and self.alg_cfg.get("rnd_cfg") is not None:
             default_sets.append("rnd_state")
@@ -137,11 +155,31 @@ class OnPolicyRunner:
         self.alg = self._construct_algorithm(obs)
 
         # ---- initial train/collect state, sharded over the mesh
-        ts = self.alg.init_train_state(key_state, env.num_envs)
-        cs = self.alg.init_collect_state_from(self._env_state0, obs, env.num_envs)
-        if self.num_devices > 1:
+        ts = self.alg.init_train_state(key_state, self.num_global_envs)
+        if self._host_bridge is not None:
+            from rsl_rl_tpu.algorithms.ppo import CollectState, init_episode_stats
+
             ts = self._shard_train_state(ts)
-            cs = shard_tree(cs, data_sharding(self.mesh))
+            # obs is this process's local shard -> global data-sharded; the
+            # recurrent carry lives globally (it is produced by global jitted
+            # steps); episode stats stay process-local (reference rank-0
+            # logging semantics, on_policy_runner.py:51)
+            cs = CollectState(
+                env_state=(),
+                obs=self._host_bridge.to_global(
+                    {k: np.asarray(v) for k, v in obs_local.items()}
+                ),
+                carry=shard_tree(
+                    self.alg.policy.initial_carry(self.num_global_envs),
+                    data_sharding(self.mesh),
+                ),
+                stats=init_episode_stats(env.num_envs),
+            )
+        else:
+            cs = self.alg.init_collect_state_from(self._env_state0, obs, env.num_envs)
+            if self.num_devices > 1:
+                ts = self._shard_train_state(ts)
+                cs = shard_tree(cs, data_sharding(self.mesh))
         self.train_state = ts
         self.collect_state = cs
 
@@ -156,7 +194,10 @@ class OnPolicyRunner:
             )
         else:
             # host env: Python step loop with jitted act/process steps
-            self._collect = self.alg.make_host_collect_fn(env, self.num_steps_per_env)
+            # (global programs over the data-sharded batch when bridged)
+            self._collect = self.alg.make_host_collect_fn(
+                env, self.num_steps_per_env, bridge=self._host_bridge
+            )
         self._update = jax.jit(self.alg.make_update_fn(), donate_argnums=(0, 2))
 
         # optional fused mode: collect + update compiled into ONE XLA program
@@ -327,7 +368,9 @@ class OnPolicyRunner:
         )
 
     def _log(self, it, start_iter, tot_iter, metrics, collection_time, learn_time, width=80, pad=35):
-        collection_size = self.num_steps_per_env * self.env.num_envs
+        # global batch per iteration: T * N * world (reference
+        # on_policy_runner.py:179 multiplies by world_size the same way)
+        collection_size = self.num_steps_per_env * self.num_global_envs
         self.tot_timesteps += collection_size
         iteration_time = collection_time + learn_time
         self.tot_time += iteration_time
