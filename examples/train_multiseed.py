@@ -2,12 +2,17 @@
 
 Usage::
 
-    python examples/train_multiseed.py [--seeds 8] [--num-envs 512] [--iterations 100]
+    python examples/train_multiseed.py [--seeds 8] [--num-envs 512] \
+        [--iterations 100] [--log-dir logs/multiseed]
 
 Every iteration runs collect + update for ALL seeds as one batched program
-(runners/multiseed.py); the script prints the cross-seed mean +/- std reward
-curve — the error band the reference's users produce by launching N separate
-processes. Runs on whatever device JAX exposes.
+(``MultiSeedRunner`` over runners/multiseed.py); the console and TensorBoard
+carry the cross-seed mean +/- std curves (``Train/mean_reward`` /
+``Train/mean_reward_std``) — the error band the reference's users produce by
+launching N separate processes. With a log dir the study checkpoints every
+``save_interval`` iterations (stacked; bit-identical resume via
+``MultiSeedRunner.load``), and the best seed exports to a standard
+single-seed checkpoint for deployment.
 """
 
 from __future__ import annotations
@@ -18,13 +23,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
 import numpy as np
 
-from rsl_rl_tpu.algorithms.ppo import PPO
 from rsl_rl_tpu.env import Pendulum
-from rsl_rl_tpu.modules import ActorCritic
-from rsl_rl_tpu.runners.multiseed import make_multiseed_train
+from rsl_rl_tpu.runners import MultiSeedRunner
 
 
 def main() -> None:
@@ -33,41 +35,38 @@ def main() -> None:
     parser.add_argument("--num-envs", type=int, default=512)
     parser.add_argument("--iterations", type=int, default=100)
     parser.add_argument("--key", type=int, default=0)
+    parser.add_argument("--log-dir", type=str, default=None)
     args = parser.parse_args()
 
+    cfg = {
+        "num_steps_per_env": 24,
+        "save_interval": 50,
+        "seed": args.key,
+        "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+        "logger": "tensorboard",
+        "policy": {
+            "class_name": "ActorCritic",
+            "actor_hidden_dims": [256, 256, 256],
+            "critic_hidden_dims": [256, 256, 256],
+            "actor_obs_normalization": True,
+            "critic_obs_normalization": True,
+        },
+        "algorithm": {"class_name": "PPO", "schedule": "adaptive", "desired_kl": 0.01},
+    }
     env = Pendulum(num_envs=args.num_envs)
-    _, obs = env.reset(jax.random.PRNGKey(0))
-    policy = ActorCritic(
-        obs,
-        {"policy": ["policy"], "critic": ["policy"]},
-        env.num_actions,
-        actor_hidden_dims=[256, 256, 256],
-        critic_hidden_dims=[256, 256, 256],
-        actor_obs_normalization=True,
-        critic_obs_normalization=True,
-    )
-    ppo = PPO(policy, schedule="adaptive", desired_kl=0.01)
+    runner = MultiSeedRunner(env, cfg, num_seeds=args.seeds, log_dir=args.log_dir)
+    runner.learn(args.iterations)
 
-    init, train_step = make_multiseed_train(ppo, env, 24, args.seeds)
-    ts, cs = init(jax.random.PRNGKey(args.key))
-
-    # accumulate episode sums across iterations: episodes only complete every
-    # ~max_episode_length/num_steps iterations, so per-iteration counts are
-    # sparse
-    rew_acc = np.zeros(args.seeds)
-    cnt_acc = np.zeros(args.seeds)
-    for it in range(args.iterations):
-        ts, cs, metrics = train_step(ts, cs)
-        rew_acc += np.asarray(metrics["ep_reward_sum"])
-        cnt_acc += np.asarray(metrics["ep_count"])
-        if (it + 1) % 10 == 0:
-            per_seed = rew_acc / np.maximum(cnt_acc, 1)
-            print(
-                f"iter {it + 1:4d}  reward mean {per_seed.mean():9.2f}"
-                f"  +/- {per_seed.std():7.2f}  (n={args.seeds} seeds)"
-            )
-            rew_acc[:] = 0.0
-            cnt_acc[:] = 0.0
+    if args.log_dir:
+        # export the best seed for deployment through OnPolicyRunner.load
+        rew, _, _ = runner._window_stats(
+            {"ep_reward_sum": np.zeros(args.seeds), "ep_length_sum": np.zeros(args.seeds),
+             "ep_count": np.zeros(args.seeds)}
+        )
+        best = int(np.argmax(rew))
+        path = os.path.join(args.log_dir, f"best_seed_{best}.ckpt")
+        runner.save_seed(path, best)
+        print(f"best seed {best} (reward {rew[best]:.2f}) exported to {path}")
 
 
 if __name__ == "__main__":

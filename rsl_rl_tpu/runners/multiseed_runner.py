@@ -1,0 +1,227 @@
+"""Multi-seed training runner: N independent seeds, one batched program.
+
+Productizes ``runners/multiseed.py`` (the vmap machinery) with everything the
+single-seed ``OnPolicyRunner`` provides: config-driven construction, console +
+TensorBoard/W&B/Neptune logging of cross-seed ``mean ± std`` curves, stacked
+checkpointing with bit-identical resume, and per-seed export to a standard
+single-seed checkpoint (so the best seed deploys through the normal
+``OnPolicyRunner.load`` / ``get_inference_policy`` path).
+
+No reference equivalent: the reference runs seed studies as N separate torch
+processes (one per GPU); here the functional core makes N seeds a single
+batched XLA program on one chip — the flagship "what the pytree/pure-function
+design buys" capability.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsl_rl_tpu.runners.multiseed import make_multiseed_train
+from rsl_rl_tpu.utils.checkpoint import load_checkpoint, restore_typed, save_checkpoint
+from rsl_rl_tpu.utils.registry import resolve
+from rsl_rl_tpu.utils.resolvers import resolve_obs_groups
+from rsl_rl_tpu.utils.writers import make_writer
+
+
+class MultiSeedRunner:
+    """Train ``num_seeds`` independent PPO runs as one batched program.
+
+    Config schema matches :class:`OnPolicyRunner` (same ``policy`` /
+    ``algorithm`` / ``obs_groups`` blocks); ``cfg["seed"]`` seeds the whole
+    study (each seed's init/noise streams derive from it). JAX envs only —
+    a host env cannot be vmapped.
+    """
+
+    def __init__(self, env, train_cfg: dict, num_seeds: int, log_dir: str | None = None):
+        if not getattr(env, "is_jax", True):
+            raise ValueError(
+                "MultiSeedRunner requires a JAX-native env: host envs step on"
+                " host and cannot be vmapped over the seed axis."
+            )
+        self.cfg = dict(train_cfg)
+        self.alg_cfg = dict(train_cfg["algorithm"])
+        self.policy_cfg = dict(train_cfg["policy"])
+        self.env = env
+        self.num_seeds = int(num_seeds)
+        self.log_dir = log_dir
+        self.num_steps_per_env = self.cfg["num_steps_per_env"]
+        self.save_interval = self.cfg["save_interval"]
+
+        key = jax.random.PRNGKey(int(self.cfg.get("seed", 1)))
+        self._key, key_env, key_init = jax.random.split(key, 3)
+
+        # probe obs + resolve groups (reference on_policy_runner.py:40-44)
+        _, obs = env.reset(key_env)
+        self.cfg["obs_groups"] = resolve_obs_groups(obs, self.cfg["obs_groups"], ["critic"])
+
+        policy_class = resolve("policy", self.policy_cfg.pop("class_name"))
+        policy = policy_class(obs, self.cfg["obs_groups"], env.num_actions, **self.policy_cfg)
+        alg_class = resolve("algorithm", self.alg_cfg.pop("class_name"))
+        self.alg = alg_class(policy, **self.alg_cfg)
+
+        init, self._train_step = make_multiseed_train(
+            self.alg, env, self.num_steps_per_env, self.num_seeds
+        )
+        self.train_state, self.collect_state = init(key_init)
+
+        self.writer = None
+        self.logger_type = self.cfg.get("logger", "tensorboard")
+        self.current_learning_iteration = 0
+        self.tot_timesteps = 0
+        self.tot_time = 0.0
+        # per-seed ~100-episode trailing windows (numpy [S] tuples)
+        self._ep_window: deque = deque()
+
+    # ------------------------------------------------------------------ train
+
+    def learn(self, num_learning_iterations: int) -> None:
+        if self.log_dir is not None and self.writer is None:
+            self.writer = make_writer(self.logger_type, self.log_dir, self.cfg)
+
+        start_iter = self.current_learning_iteration
+        tot_iter = start_iter + num_learning_iterations
+        for it in range(start_iter, tot_iter):
+            start = time.time()
+            ts, cs, m = self._train_step(self.train_state, self.collect_state)
+            m = jax.device_get(m)  # [S]-leading metrics; the transfer is the fence
+            iteration_time = time.time() - start
+            self.train_state, self.collect_state = ts, cs
+            self.current_learning_iteration = it
+
+            self.tot_timesteps += (
+                self.num_steps_per_env * self.env.num_envs * self.num_seeds
+            )
+            self.tot_time += iteration_time
+            if self.log_dir is not None:
+                self._log(it, m, iteration_time)
+                if it % self.save_interval == 0:
+                    self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
+
+        if self.log_dir is not None:
+            self.save(
+                os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt")
+            )
+
+    # ---------------------------------------------------------------- logging
+
+    def _window_stats(self, m) -> tuple[np.ndarray, np.ndarray, float]:
+        """Per-seed trailing ~100-episode reward/length means."""
+        self._ep_window.append(
+            (
+                np.asarray(m.get("ep_reward_sum")),
+                np.asarray(m.get("ep_length_sum")),
+                np.asarray(m.get("ep_count")),
+            )
+        )
+        while (
+            len(self._ep_window) > 1
+            and float(sum(e[2].sum() for e in self._ep_window) - self._ep_window[0][2].sum())
+            >= 100.0 * self.num_seeds
+        ):
+            self._ep_window.popleft()
+        count = sum(e[2] for e in self._ep_window)  # [S]
+        safe = np.maximum(count, 1.0)
+        rew = sum(e[0] for e in self._ep_window) / safe
+        length = sum(e[1] for e in self._ep_window) / safe
+        return rew, length, float(count.sum())
+
+    def _log(self, it: int, m: dict, iteration_time: float) -> None:
+        fps = int(
+            self.num_steps_per_env * self.env.num_envs * self.num_seeds / iteration_time
+        )
+        rew, length, ep_count = self._window_stats(m)
+        for k, v in m.items():
+            if k.startswith("Loss/"):
+                vals = np.asarray(v)
+                self.writer.add_scalar(k, float(vals.mean()), it)
+                self.writer.add_scalar(f"{k}_std", float(vals.std()), it)
+        self.writer.add_scalar(
+            "Policy/mean_noise_std", float(np.asarray(m["Policy/mean_noise_std"]).mean()), it
+        )
+        self.writer.add_scalar("Perf/total_fps", fps, it)
+        if ep_count > 0:
+            self.writer.add_scalar("Train/mean_reward", float(rew.mean()), it)
+            self.writer.add_scalar("Train/mean_reward_std", float(rew.std()), it)
+            self.writer.add_scalar("Train/mean_episode_length", float(length.mean()), it)
+            self.writer.add_scalar(
+                "Train/mean_episode_length_std", float(length.std()), it
+            )
+        print(
+            f"[multiseed {self.num_seeds}x] it {it}: reward {rew.mean():.2f} +/- "
+            f"{rew.std():.2f}  len {length.mean():.1f}  {fps} steps/s"
+        )
+
+    # ------------------------------------------------------------ checkpoints
+
+    def save(self, path: str, infos=None) -> None:
+        """One stacked checkpoint for the whole study (leading seed axis)."""
+        ts = self.train_state
+        state = {
+            "model": ts.policy,
+            "opt_state": ts.opt_state,
+            "lr": ts.lr,
+            "iter": int(self.current_learning_iteration),
+            "num_seeds": self.num_seeds,
+            "infos": infos,
+        }
+        if ts.rnd is not None:
+            state["rnd"] = ts.rnd
+            state["rnd_opt_state"] = ts.rnd_opt_state
+        save_checkpoint(path, state)
+
+    def load(self, path: str):
+        """Bit-identical resume of the whole study."""
+        ts = self.train_state
+        loaded = load_checkpoint(path)
+        if int(loaded.get("num_seeds", -1)) != self.num_seeds:
+            raise ValueError(
+                f"Checkpoint {path!r} holds {loaded.get('num_seeds')} seeds;"
+                f" this runner is configured for {self.num_seeds}."
+            )
+        loaded = restore_typed(
+            loaded,
+            {
+                "model": ts.policy,
+                "opt_state": ts.opt_state,
+                "lr": ts.lr,
+                "rnd": ts.rnd,
+                "rnd_opt_state": ts.rnd_opt_state,
+            },
+        )
+        ts = ts.replace(
+            policy=loaded["model"], opt_state=loaded["opt_state"],
+            lr=jnp.asarray(loaded["lr"]),
+        )
+        if ts.rnd is not None:
+            ts = ts.replace(rnd=loaded["rnd"], rnd_opt_state=loaded["rnd_opt_state"])
+        self.current_learning_iteration = int(loaded["iter"])
+        ts = ts.replace(it=jnp.full_like(ts.it, loaded["iter"]))
+        self.train_state = ts
+        return loaded["infos"]
+
+    def save_seed(self, path: str, seed_index: int) -> None:
+        """Export ONE seed as a standard single-seed checkpoint — the schema
+        ``OnPolicyRunner.load`` expects, so the best seed of a study deploys
+        (or keeps training) through the normal runner."""
+        if not 0 <= seed_index < self.num_seeds:
+            raise ValueError(f"seed_index {seed_index} out of range [0, {self.num_seeds})")
+        ts = self.train_state
+        pick = lambda tree: jax.tree.map(lambda x: x[seed_index], tree)  # noqa: E731
+        state = {
+            "model": pick(ts.policy),
+            "opt_state": pick(ts.opt_state),
+            "lr": ts.lr[seed_index],
+            "iter": int(self.current_learning_iteration),
+            "infos": None,
+        }
+        if ts.rnd is not None:
+            state["rnd"] = pick(ts.rnd)
+            state["rnd_opt_state"] = pick(ts.rnd_opt_state)
+        save_checkpoint(path, state)

@@ -5,6 +5,8 @@ matches what the same seed produces in a standalone single-seed run, and
 distinct seeds produce distinct trajectories.
 """
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -78,3 +80,113 @@ class TestMultiseed:
         cs = shard_tree(cs, data_sharding(mesh))
         ts, cs, metrics = train_step(ts, cs)
         assert np.all(np.isfinite(np.asarray(metrics["Loss/value_function"])))
+
+
+class TestMultiSeedRunner:
+    """Productized multi-seed training: logging, stacked checkpoints with
+    bit-identical resume, per-seed export to the single-seed runner."""
+
+    CFG = {
+        "num_steps_per_env": 8,
+        "save_interval": 2,
+        "seed": 3,
+        "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+        "logger": "tensorboard",
+        "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                   "critic_hidden_dims": [16], "actor_obs_normalization": True,
+                   "critic_obs_normalization": True},
+        "algorithm": {"class_name": "PPO", "schedule": "adaptive",
+                      "desired_kl": 0.01, "num_learning_epochs": 2,
+                      "num_mini_batches": 2},
+    }
+
+    def _runner(self, log_dir=None):
+        import copy
+
+        from rsl_rl_tpu.env import Pendulum
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        env = Pendulum(num_envs=8, max_episode_length=16)
+        return MultiSeedRunner(env, copy.deepcopy(self.CFG), num_seeds=3, log_dir=log_dir)
+
+    def test_learn_logs_and_saves(self, tmp_path):
+        runner = self._runner(str(tmp_path))
+        runner.learn(3)
+        files = os.listdir(str(tmp_path))
+        assert any(f.startswith("events.out.tfevents") for f in files)
+        assert any(f.startswith("model_") for f in files)
+
+    def test_resume_bit_identical(self, tmp_path):
+        runner = self._runner(str(tmp_path))
+        runner.learn(3)
+        path = os.path.join(str(tmp_path), "snap.ckpt")
+        runner.save(path)
+
+        runner2 = self._runner()
+        runner2.load(path)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            jax.device_get(runner.train_state.policy.params),
+            jax.device_get(runner2.train_state.policy.params),
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            jax.device_get(runner.train_state.opt_state),
+            jax.device_get(runner2.train_state.opt_state),
+        )
+        assert runner2.current_learning_iteration == runner.current_learning_iteration
+
+    def test_seed_count_mismatch_rejected(self, tmp_path):
+        import copy
+
+        import pytest
+
+        from rsl_rl_tpu.env import Pendulum
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        runner = self._runner(str(tmp_path))
+        runner.learn(1)
+        path = os.path.join(str(tmp_path), "snap.ckpt")
+        runner.save(path)
+        other = MultiSeedRunner(
+            Pendulum(num_envs=8, max_episode_length=16), copy.deepcopy(self.CFG),
+            num_seeds=2,
+        )
+        with pytest.raises(ValueError, match="seeds"):
+            other.load(path)
+
+    def test_save_seed_loads_into_single_runner(self, tmp_path):
+        from rsl_rl_tpu.env import Pendulum
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        runner = self._runner(str(tmp_path))
+        runner.learn(2)
+        path = os.path.join(str(tmp_path), "seed1.ckpt")
+        runner.save_seed(path, 1)
+
+        import copy
+
+        single = OnPolicyRunner(
+            Pendulum(num_envs=8, max_episode_length=16), copy.deepcopy(self.CFG),
+            log_dir=None,
+        )
+        single.load(path)
+        # exported params equal the studied seed's slice
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b)),
+            jax.device_get(runner.train_state.policy.params),
+            jax.device_get(single.train_state.policy.params),
+        )
+        assert single.current_learning_iteration == runner.current_learning_iteration
+        single.learn(1)  # and it keeps training
+
+    def test_host_env_rejected(self):
+        import copy
+
+        import pytest
+
+        from tests.host_env_double import ShardableHostEnv
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        with pytest.raises(ValueError, match="JAX-native"):
+            MultiSeedRunner(ShardableHostEnv(num_envs=8), copy.deepcopy(self.CFG), 2)

@@ -203,6 +203,48 @@ class TestDataParallelConsistency:
                 )
 
 
+class TestIterationsPerDispatch:
+    """K-iterations-per-program mode: one lax.scan dispatch per K fused
+    iterations must train identically to per-iteration fused dispatches,
+    keep per-iteration logging, and still write checkpoints."""
+
+    def test_k_dispatch_matches_per_iteration(self, tmp_path):
+        params = {}
+        for cfg_extra in ({"fuse_iteration": True},
+                          {"iterations_per_dispatch": 3}):
+            env = PointMass(num_envs=8, max_episode_length=16)
+            cfg = _runner_cfg(**cfg_extra)
+            runner = OnPolicyRunner(env, cfg, log_dir=None)
+            runner.learn(7)  # 3 + 3 + 1: exercises the remainder-chunk program
+            params[tuple(cfg_extra)] = jax.device_get(runner.train_state.policy.params)
+        a, b = params.values()
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-7)
+
+    def test_k_dispatch_logs_and_saves(self, tmp_path):
+        env = PointMass(num_envs=8, max_episode_length=16)
+        cfg = _runner_cfg(iterations_per_dispatch=4)
+        cfg["save_interval"] = 5
+        runner = OnPolicyRunner(env, cfg, log_dir=str(tmp_path))
+        runner.learn(8)
+        # per-iteration scalars in the tfevents file + group-boundary ckpts
+        assert any(f.startswith("events.out") for f in os.listdir(tmp_path))
+        ckpts = [f for f in os.listdir(tmp_path) if f.startswith("model_")]
+        # iteration 5 hit the save boundary inside group [4..7] -> saved at
+        # the group end (7), plus the final save
+        assert "model_7.ckpt" in ckpts
+        assert runner.current_learning_iteration == 7
+
+    def test_k_dispatch_rejects_host_envs(self):
+        from tests.host_env_double import ShardableHostEnv
+
+        env = ShardableHostEnv(num_envs=8)
+        cfg = _runner_cfg(iterations_per_dispatch=2)
+        cfg["obs_groups"] = {"policy": ["policy"], "critic": ["policy"]}
+        with pytest.raises(ValueError, match="JAX-native"):
+            OnPolicyRunner(env, cfg, log_dir=None)
+
+
 class TestCheckpointing:
     def test_save_load_resume_identical(self, tmp_path):
         """save -> load must restore bit-identical training trajectories."""
