@@ -136,6 +136,44 @@ def measure(env, recurrent: bool = False, dtype=None) -> dict:
     }
 
 
+def measure_small_config(k: int) -> float:
+    """BASELINE config #1 (PPO MLP, 64 Pendulum envs) with ``k`` fused
+    iterations per dispatch (lax.scan over the fused iteration — the
+    runner's ``iterations_per_dispatch`` mode). At 64 envs the workload is
+    host-latency-bound, so amortizing the ~0.4 ms tunnel dispatch across k
+    iterations is the whole ballgame. Returns env-steps/s."""
+    from rsl_rl_tpu.env import Pendulum
+
+    env = Pendulum(num_envs=64)
+    ppo, ts, cs = _build(env)
+    collect = ppo.make_collect_fn(env, NUM_STEPS)
+    update = ppo.make_update_fn()
+
+    def k_iterations(ts, cs):
+        def body(carry, _):
+            ts, cs = carry
+            ts, cs, rollout, cm = collect(ts, cs)
+            ts, cs, um = update(ts, cs, rollout)
+            return (ts, cs), um["Loss/kl"]
+
+        (ts, cs), kls = jax.lax.scan(body, (ts, cs), None, length=k)
+        return ts, cs, kls
+
+    prog = jax.jit(k_iterations)
+    for _ in range(2):
+        ts, cs, kls = prog(ts, cs)
+    jax.device_get(kls)
+    dispatches = max(30 // k, 3)
+    best = float("inf")
+    for _ in range(TRIALS):
+        start = time.perf_counter()
+        for _ in range(dispatches):
+            ts, cs, kls = prog(ts, cs)
+        jax.device_get(kls)
+        best = min(best, (time.perf_counter() - start) / (dispatches * k))
+    return 64 * NUM_STEPS / best
+
+
 def main() -> None:
     import threading
 
@@ -193,6 +231,8 @@ def main() -> None:
         recurrent = measure(
             NLinkPendulum(num_envs=NUM_ENVS, num_links=5), recurrent=True
         )
+        small_k1 = measure_small_config(1)
+        small_k20 = measure_small_config(20)
     except Exception as e:  # headline survives a failed extra
         _flush(f"extras failed: {type(e).__name__}: {e}")
         raise SystemExit(3)  # degraded run: headline only
@@ -212,6 +252,8 @@ def main() -> None:
                     "recurrent_gru256_env_steps_per_s": round(recurrent["steps_per_s"], 1),
                     "recurrent_collect_s_per_iter": round(recurrent["collect_s"], 5),
                     "recurrent_learn_s_per_iter": round(recurrent["learn_s"], 5),
+                    "config1_64env_steps_per_s_k1": round(small_k1, 1),
+                    "config1_64env_steps_per_s_k20": round(small_k20, 1),
                 }
             )
             flushed[0] = True

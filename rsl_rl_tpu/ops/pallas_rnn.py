@@ -314,6 +314,255 @@ _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
 
 
 # --------------------------------------------------------------------------
+# x-streaming GRU core (small input dims)
+#
+# The xproj-streaming kernels above move [T, B, 3H] projections through HBM
+# three times (fwd read, bwd read, bwd dxproj write) — at GRU-256/B=1024/T=24
+# that is ~225 MB per replay and the measured bottleneck (the kernels are
+# HBM-bandwidth-bound; bf16 MXU rate changes nothing). When the input dim D
+# is small (policy obs, D << 3H), streaming the RAW inputs [T, B, D] instead
+# and (re)computing the input projection inside the kernel cuts that traffic
+# by ~3H/D: the projection matmul [BB, D] @ [D, 3H] is FLOP-trivial, the
+# input-weight grads accumulate in a [D, 3H] VMEM scratch, and the bulk
+# xproj/dxproj matmuls outside the kernel disappear entirely. Forward values
+# are BIT-IDENTICAL to the xproj path (same dot products, same operand-cast
+# scheme; row-wise results do not depend on batch blocking).
+# --------------------------------------------------------------------------
+
+#: use the x-streaming kernels when the input dim is at most this (beyond it
+#: the resident [D, 3H] weight/grad blocks start to crowd VMEM, and the
+#: bandwidth advantage over streaming [*, 3H] projections shrinks anyway)
+_X_STREAM_MAX_D = 512
+
+
+def _fwd_kernel_x(
+    dt, x_ref, resets_ref, carry0_ref, wx_ref, bx_ref, wh_ref, bhn_ref, hs_ref, h_scr
+):
+    t = pl.program_id(0)
+    b = pl.program_id(1)
+    H = carry0_ref.shape[-1]
+    BB = carry0_ref.shape[0]
+    bs = pl.ds(b * BB, BB)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[bs, :] = carry0_ref[:]
+
+    h = h_scr[bs, :] * (1.0 - resets_ref[0, 0, :][:, None])
+    x = _mm(x_ref[0], wx_ref[:], dt) + bx_ref[0]
+    wh = wh_ref[:]
+    r = jax.nn.sigmoid(x[:, :H] + _mm(h, wh[:, :H], dt))
+    z = jax.nn.sigmoid(x[:, H : 2 * H] + _mm(h, wh[:, H : 2 * H], dt))
+    u = _mm(h, wh[:, 2 * H :], dt) + bhn_ref[0]
+    n = jnp.tanh(x[:, 2 * H :] + r * u)
+    h_new = (1.0 - z) * n + z * h
+    h_scr[bs, :] = h_new
+    hs_ref[0] = h_new
+
+
+def _gru_core_x_fwd_impl(wx, bx, wh, bhn, carry0, xs, resets, dt=None):
+    T, B, D = xs.shape
+    H = wh.shape[0]
+    BB = _pick_block_b(B)
+    grid = (T, B // BB)
+    return pl.pallas_call(
+        partial(_fwd_kernel_x, dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BB, D), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), lambda t, b: (t, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda t, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BB, H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * (H + D) * 3 * H,
+            bytes_accessed=4 * (T * B * D + T * B * H + (H + D) * 3 * H),
+            transcendentals=3 * T * B * H,
+        ),
+    )(xs, resets, carry0, wx, bx, wh, bhn)
+
+
+def _bwd_kernel_x(
+    dt,
+    x_ref,
+    resets_ref,
+    carry0_ref,
+    wx_ref,
+    bx_ref,
+    wh_ref,
+    bhn_ref,
+    hs_prev_ref,
+    ghs_ref,
+    dx_ref,
+    dcarry0_ref,
+    dwx_ref,
+    dbx_ref,
+    dwh_ref,
+    dbhn_ref,
+    dh_scr,
+    dwx_scr,
+    dbx_scr,
+    dwh_scr,
+    dbhn_scr,
+):
+    T = pl.num_programs(0)
+    g_id = pl.program_id(0)
+    t = T - 1 - g_id
+    b = pl.program_id(1)
+    H = carry0_ref.shape[-1]
+    BB = carry0_ref.shape[0]
+    bs = pl.ds(b * BB, BB)
+
+    @pl.when(g_id == 0)
+    def _():
+        dh_scr[bs, :] = jnp.zeros((BB, H), jnp.float32)
+
+    @pl.when((g_id == 0) & (b == 0))
+    def _():
+        dwx_scr[:] = jnp.zeros_like(dwx_scr)
+        dbx_scr[:] = jnp.zeros_like(dbx_scr)
+        dwh_scr[:] = jnp.zeros_like(dwh_scr)
+        dbhn_scr[:] = jnp.zeros_like(dbhn_scr)
+
+    reset = resets_ref[0, 0, :][:, None]
+    h_prev_raw = jnp.where(t == 0, carry0_ref[:], hs_prev_ref[0])
+    h = h_prev_raw * (1.0 - reset)
+
+    # recompute forward intermediates for step t (same dt casts as forward,
+    # so the recomputed activations match the forward pass exactly)
+    x_raw = x_ref[0]
+    x = _mm(x_raw, wx_ref[:], dt) + bx_ref[0]
+    wh = wh_ref[:]
+    r = jax.nn.sigmoid(x[:, :H] + _mm(h, wh[:, :H], dt))
+    z = jax.nn.sigmoid(x[:, H : 2 * H] + _mm(h, wh[:, H : 2 * H], dt))
+    u = _mm(h, wh[:, 2 * H :], dt) + bhn_ref[0]
+    n = jnp.tanh(x[:, 2 * H :] + r * u)
+
+    g = ghs_ref[0] + dh_scr[bs, :]
+
+    dz = g * (h - n) * z * (1.0 - z)
+    dn_pre = g * (1.0 - z) * (1.0 - n * n)
+    du = dn_pre * r
+    dr_pre = dn_pre * u * r * (1.0 - r)
+
+    dxproj = jnp.concatenate([dr_pre, dz, dn_pre], axis=-1)  # [BB, 3H]
+    dx_ref[0] = _mm(dxproj, wx_ref[:].T, dt)
+    dwx_scr[:] += _mm(x_raw.T, dxproj, dt)
+    dbx_scr[0, :] += jnp.sum(dxproj, axis=0)
+
+    dgates = jnp.concatenate([dr_pre, dz, du], axis=-1)  # [BB, 3H]
+    dh = g * z + _mm(dgates, wh.T, dt)
+
+    dwh_scr[:] += _mm(h.T, dgates, dt)
+    dbhn_scr[0, :] += jnp.sum(du, axis=0)
+
+    dh_prev = dh * (1.0 - reset)
+    dh_scr[bs, :] = dh_prev
+
+    @pl.when(t == 0)
+    def _():
+        dcarry0_ref[:] = dh_prev
+
+    @pl.when((g_id == T - 1) & (b == pl.num_programs(1) - 1))
+    def _():
+        dwx_ref[:] = dwx_scr[:]
+        dbx_ref[:] = dbx_scr[:]
+        dwh_ref[:] = dwh_scr[:]
+        dbhn_ref[:] = dbhn_scr[:]
+
+
+def _gru_core_x_bwd_impl(wx, bx, wh, bhn, carry0, xs, resets, hs, ghs, dt=None):
+    T, B, D = xs.shape
+    H = wh.shape[0]
+    BB = _pick_block_b(B, max_bb=256)
+    grid = (T, B // BB)
+
+    def rev_t(t, b):
+        return (T - 1 - t, b, 0)
+
+    def rev_t_prev(t, b):
+        return (jnp.maximum(T - 2 - t, 0), b, 0)
+
+    dx, dcarry0, dwx, dbx, dwh, dbhn = pl.pallas_call(
+        partial(_bwd_kernel_x, dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BB, D), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), lambda t, b: (T - 1 - t, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda t, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), rev_t_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), rev_t, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BB, D), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda t, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((D, 3 * H), jnp.float32),
+            pltpu.VMEM((1, 3 * H), jnp.float32),
+            pltpu.VMEM((H, 3 * H), jnp.float32),
+            pltpu.VMEM((1, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * T * B * (H + D) * 3 * H,
+            bytes_accessed=4 * (2 * T * B * D + 2 * T * B * H + 2 * (H + D) * 3 * H),
+            transcendentals=3 * T * B * H,
+        ),
+    )(xs, resets, carry0, wx, bx, wh, bhn, hs, ghs)
+    return dwx, dbx, dwh, dbhn, dcarry0, dx
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gru_core_x(dt, wx, bx, wh, bhn, carry0, xs, resets):
+    return _gru_core_x_fwd_impl(wx, bx, wh, bhn, carry0, xs, resets, dt=dt)
+
+
+def _gru_core_x_fwd(dt, wx, bx, wh, bhn, carry0, xs, resets):
+    hs = _gru_core_x_fwd_impl(wx, bx, wh, bhn, carry0, xs, resets, dt=dt)
+    return hs, (wx, bx, wh, bhn, carry0, xs, resets, hs)
+
+
+def _gru_core_x_bwd(dt, res, ghs):
+    wx, bx, wh, bhn, carry0, xs, resets, hs = res
+    dwx, dbx, dwh, dbhn, dcarry0, dx = _gru_core_x_bwd_impl(
+        wx, bx, wh, bhn, carry0, xs, resets, hs, ghs, dt=dt
+    )
+    return dwx, dbx, dwh, dbhn, dcarry0, dx, jnp.zeros_like(resets)
+
+
+_gru_core_x.defvjp(_gru_core_x_fwd, _gru_core_x_bwd)
+
+
+# --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
 
@@ -343,8 +592,8 @@ def gru_sequence(
     Returns:
         ``[T, B, H]`` hidden outputs.
     """
-    T, B, _ = xs.shape
-    # input projection for all steps as one MXU matmul; bias ordering r|z|n
+    T, B, D = xs.shape
+    # gate weight/bias ordering r|z|n
     wi = jnp.concatenate(
         [cell_params["ir"]["kernel"], cell_params["iz"]["kernel"], cell_params["in"]["kernel"]],
         axis=1,
@@ -352,13 +601,30 @@ def gru_sequence(
     bi = jnp.concatenate(
         [cell_params["ir"]["bias"], cell_params["iz"]["bias"], cell_params["in"]["bias"]]
     )
-    xproj = _mm(xs.reshape(T * B, -1), wi, compute_dtype) + bi
     wh = jnp.concatenate(
         [cell_params["hr"]["kernel"], cell_params["hz"]["kernel"], cell_params["hn"]["kernel"]],
         axis=1,
     )
     bhn = cell_params["hn"]["bias"][None, :]
     H = wh.shape[0]
+
+    if D <= _X_STREAM_MAX_D:
+        # small input dim: stream raw inputs, project inside the kernel —
+        # ~3H/D less HBM traffic, bit-identical forward values (see the
+        # x-streaming section above)
+        return _gru_core_x(
+            compute_dtype,
+            wi,
+            bi[None, :],
+            wh,
+            bhn,
+            carry0.astype(jnp.float32),
+            xs.astype(jnp.float32),
+            resets.astype(jnp.float32).reshape(T, 1, B),
+        )
+
+    # wide inputs: one bulk MXU matmul for all input projections, stream those
+    xproj = _mm(xs.reshape(T * B, -1), wi, compute_dtype) + bi
     return _gru_core(
         compute_dtype,
         wh,

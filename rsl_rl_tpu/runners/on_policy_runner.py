@@ -578,27 +578,30 @@ class OnPolicyRunner:
 
         ts = self.train_state
         loaded = load_checkpoint(path)
+        structural_err = None
         try:
             loaded_model = serialization.from_state_dict(
                 ts.policy, loaded["model"], name="model"
             )
         except (KeyError, ValueError) as err:
-            # Only a structurally DIFFERENT model state is the
-            # teacher-bootstrap case (load_state_dict remaps the raw dict
-            # itself). A state dict whose top-level structure matches the
-            # current policy but still fails to restore is a corrupted or
-            # shape-incompatible checkpoint — surface that directly instead
-            # of rerouting it into the bootstrap remap path.
-            own_keys = set(serialization.to_state_dict(ts.policy))
-            if isinstance(loaded["model"], dict) and set(loaded["model"]) == own_keys:
-                raise ValueError(
-                    f"Checkpoint {path!r} has this policy's structure but its"
-                    f" 'model' entry failed to restore ({err}); the checkpoint"
-                    " is corrupted or shape-incompatible with the configured"
-                    " policy."
-                ) from err
+            # structurally different model state: usually the
+            # teacher-bootstrap case — load_state_dict remaps the raw state
+            # dict itself. Remember the original error so a checkpoint that
+            # ALSO fails the remap (i.e. is genuinely incompatible/corrupted)
+            # surfaces both causes instead of a bare remap error.
+            structural_err = err
             loaded_model = loaded["model"]
-        new_policy, resumed = self.alg.policy.load_state_dict(ts.policy, loaded_model)
+        try:
+            new_policy, resumed = self.alg.policy.load_state_dict(ts.policy, loaded_model)
+        except Exception as remap_err:
+            if structural_err is not None:
+                raise ValueError(
+                    f"Checkpoint {path!r} neither restores into the configured"
+                    f" policy (typed restore: {structural_err}) nor remaps as a"
+                    f" teacher bootstrap ({remap_err}); it is incompatible with"
+                    " this configuration or corrupted."
+                ) from remap_err
+            raise
         if resumed:
             # strict typed restore of the training-state extras (only on a
             # true resume — a teacher-bootstrap checkpoint's extras belong to
