@@ -335,6 +335,22 @@ _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
 _X_STREAM_MAX_D = 512
 
 
+def _x_stream_ok(batch: int, hidden: int, gates: int, d: int) -> bool:
+    """Whether the x-streaming core fits: D small enough to pay off AND the
+    worst kernel (BPTT backward) fits VMEM with the extra resident
+    ``[D, gates*H]`` input-weight + input-weight-grad blocks."""
+    bb = _pick_block_b(batch, max_bb=256) or 128
+    carry_scratch = (2 if gates == 4 else 1) * batch * hidden
+    resident_w = 2 * hidden * gates * hidden + 2 * d * gates * hidden
+    # double-buffered streamed blocks: x + dx, plus the [BB, H] hidden-state
+    # streams (gru: hs_prev + ghs; lstm: hs_prev + cs_prev + cs + ghs)
+    streamed = 2 * (2 * bb * d + (2 if gates == 3 else 4) * bb * hidden)
+    return (
+        d <= _X_STREAM_MAX_D
+        and 4 * (carry_scratch + resident_w + streamed) <= _VMEM_BUDGET_BYTES
+    )
+
+
 def _fwd_kernel_x(
     dt, x_ref, resets_ref, carry0_ref, wx_ref, bx_ref, wh_ref, bhn_ref, hs_ref, h_scr
 ):
@@ -608,7 +624,7 @@ def gru_sequence(
     bhn = cell_params["hn"]["bias"][None, :]
     H = wh.shape[0]
 
-    if D <= _X_STREAM_MAX_D:
+    if _x_stream_ok(B, H, 3, D):
         # small input dim: stream raw inputs, project inside the kernel —
         # ~3H/D less HBM traffic, bit-identical forward values (see the
         # x-streaming section above)
@@ -886,16 +902,294 @@ def _lstm_core_bwd(dt, res, g):
 _lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
 
 
+# --------------------------------------------------------------------------
+# x-streaming LSTM core (small input dims) — same design as the GRU
+# x-streaming section above: stream raw [T, B, D] inputs, recompute the
+# input projection inside the kernel, accumulate input-weight grads in a
+# [D, 4H] VMEM scratch. Cuts HBM traffic by ~4H/D vs streaming [T, B, 4H]
+# projections three times per replay; forward values are bit-identical.
+# Flax ``OptimizedLSTMCell`` has no input-side bias, so there is no bx.
+# --------------------------------------------------------------------------
+
+
+def _lstm_fwd_kernel_x(
+    dt, x_ref, resets_ref, c0_ref, h0_ref, wx_ref, wh_ref, bh_ref,
+    hs_ref, cs_ref, c_scr, h_scr,
+):
+    t = pl.program_id(0)
+    b = pl.program_id(1)
+    H = h0_ref.shape[-1]
+    BB = h0_ref.shape[0]
+    bs = pl.ds(b * BB, BB)
+
+    @pl.when(t == 0)
+    def _():
+        c_scr[bs, :] = c0_ref[:]
+        h_scr[bs, :] = h0_ref[:]
+
+    keep = 1.0 - resets_ref[0, 0, :][:, None]
+    c = c_scr[bs, :] * keep
+    h = h_scr[bs, :] * keep
+    gates = _mm(x_ref[0], wx_ref[:], dt) + _mm(h, wh_ref[:], dt) + bh_ref[0]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    c_scr[bs, :] = c_new
+    h_scr[bs, :] = h_new
+    hs_ref[0] = h_new
+    cs_ref[0] = c_new
+
+
+def _lstm_core_x_fwd_impl(wx, wh, bh, c0, h0, xs, resets, dt=None):
+    T, B, D = xs.shape
+    H = wh.shape[0]
+    BB = _pick_block_b(B)
+    grid = (T, B // BB)
+    return pl.pallas_call(
+        partial(_lstm_fwd_kernel_x, dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BB, D), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), lambda t, b: (t, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda t, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda t, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 4 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BB, H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * (H + D) * 4 * H,
+            bytes_accessed=4 * (T * B * D + 2 * T * B * H + (H + D) * 4 * H),
+            transcendentals=4 * T * B * H,
+        ),
+    )(xs, resets, c0, h0, wx, wh, bh)
+
+
+def _lstm_bwd_kernel_x(
+    dt,
+    x_ref,
+    resets_ref,
+    c0_ref,
+    h0_ref,
+    wx_ref,
+    wh_ref,
+    bh_ref,
+    hs_prev_ref,
+    cs_prev_ref,
+    cs_ref,
+    ghs_ref,
+    dx_ref,
+    dc0_ref,
+    dh0_ref,
+    dwx_ref,
+    dwh_ref,
+    dbh_ref,
+    dc_scr,
+    dh_scr,
+    dwx_scr,
+    dwh_scr,
+    dbh_scr,
+):
+    T = pl.num_programs(0)
+    g_id = pl.program_id(0)
+    t = T - 1 - g_id
+    b = pl.program_id(1)
+    H = h0_ref.shape[-1]
+    BB = h0_ref.shape[0]
+    bs = pl.ds(b * BB, BB)
+
+    @pl.when(g_id == 0)
+    def _():
+        dc_scr[bs, :] = jnp.zeros((BB, H), jnp.float32)
+        dh_scr[bs, :] = jnp.zeros((BB, H), jnp.float32)
+
+    @pl.when((g_id == 0) & (b == 0))
+    def _():
+        dwx_scr[:] = jnp.zeros_like(dwx_scr)
+        dwh_scr[:] = jnp.zeros_like(dwh_scr)
+        dbh_scr[:] = jnp.zeros_like(dbh_scr)
+
+    keep = 1.0 - resets_ref[0, 0, :][:, None]
+    c_prev = jnp.where(t == 0, c0_ref[:], cs_prev_ref[0]) * keep
+    h_prev = jnp.where(t == 0, h0_ref[:], hs_prev_ref[0]) * keep
+
+    # recompute gates of step t (same dt casts as forward)
+    x_raw = x_ref[0]
+    gates = _mm(x_raw, wx_ref[:], dt) + _mm(h_prev, wh_ref[:], dt) + bh_ref[0]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c_new = cs_ref[0]
+    tc = jnp.tanh(c_new)
+
+    gh = ghs_ref[0] + dh_scr[bs, :]
+    gc = dc_scr[bs, :] + gh * o * (1.0 - tc * tc)
+
+    do_pre = gh * tc * o * (1.0 - o)
+    df_pre = gc * c_prev * f * (1.0 - f)
+    di_pre = gc * g * i * (1.0 - i)
+    dg_pre = gc * i * (1.0 - g * g)
+
+    dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=-1)
+    dx_ref[0] = _mm(dgates, wx_ref[:].T, dt)
+    dwx_scr[:] += _mm(x_raw.T, dgates, dt)
+
+    dh = _mm(dgates, wh_ref[:].T, dt)
+    dc = gc * f
+
+    dwh_scr[:] += _mm(h_prev.T, dgates, dt)
+    dbh_scr[0, :] += jnp.sum(dgates, axis=0)
+
+    dh_prev = dh * keep
+    dc_prev = dc * keep
+    dh_scr[bs, :] = dh_prev
+    dc_scr[bs, :] = dc_prev
+
+    @pl.when(t == 0)
+    def _():
+        dc0_ref[:] = dc_prev
+        dh0_ref[:] = dh_prev
+
+    @pl.when((g_id == T - 1) & (b == pl.num_programs(1) - 1))
+    def _():
+        dwx_ref[:] = dwx_scr[:]
+        dwh_ref[:] = dwh_scr[:]
+        dbh_ref[:] = dbh_scr[:]
+
+
+def _lstm_core_x_bwd_impl(wx, wh, bh, c0, h0, xs, resets, hs, cs, ghs, dt=None):
+    T, B, D = xs.shape
+    H = wh.shape[0]
+    BB = _pick_block_b(B, max_bb=256)
+    grid = (T, B // BB)
+
+    def rev_t(t, b):
+        return (T - 1 - t, b, 0)
+
+    def rev_t_prev(t, b):
+        return (jnp.maximum(T - 2 - t, 0), b, 0)
+
+    dx, dc0, dh0, dwx, dwh, dbh = pl.pallas_call(
+        partial(_lstm_bwd_kernel_x, dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BB, D), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), lambda t, b: (T - 1 - t, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda t, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda t, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 4 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), rev_t_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), rev_t_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), rev_t, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BB, D), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda t, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda t, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 4 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((D, 4 * H), jnp.float32),
+            pltpu.VMEM((H, 4 * H), jnp.float32),
+            pltpu.VMEM((1, 4 * H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * T * B * (H + D) * 4 * H,
+            bytes_accessed=4 * (2 * T * B * D + 4 * T * B * H + 2 * (H + D) * 4 * H),
+            transcendentals=5 * T * B * H,
+        ),
+    )(xs, resets, c0, h0, wx, wh, bh, hs, cs, cs, ghs)
+    return dwx, dwh, dbh, dc0, dh0, dx
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lstm_core_x(dt, wx, wh, bh, c0, h0, xs, resets):
+    """x-streaming LSTM core; same value-only ``cT`` contract as
+    :func:`_lstm_core`."""
+    hs, cs = _lstm_core_x_fwd_impl(wx, wh, bh, c0, h0, xs, resets, dt=dt)
+    return hs, cs[-1]
+
+
+def _lstm_core_x_fwd(dt, wx, wh, bh, c0, h0, xs, resets):
+    hs, cs = _lstm_core_x_fwd_impl(wx, wh, bh, c0, h0, xs, resets, dt=dt)
+    return (hs, cs[-1]), (wx, wh, bh, c0, h0, xs, resets, hs, cs)
+
+
+def _lstm_core_x_bwd(dt, res, g):
+    ghs, _gcT = g  # cT output is value-only (see _lstm_core docstring)
+    wx, wh, bh, c0, h0, xs, resets, hs, cs = res
+    dwx, dwh, dbh, dc0, dh0, dx = _lstm_core_x_bwd_impl(
+        wx, wh, bh, c0, h0, xs, resets, hs, cs, ghs, dt=dt
+    )
+    return dwx, dwh, dbh, dc0, dh0, dx, jnp.zeros_like(resets)
+
+
+_lstm_core_x.defvjp(_lstm_core_x_fwd, _lstm_core_x_bwd)
+
+
 def _lstm_call(cell_params, carry0, xs, resets, dt):
     """Shared prep for the lstm_sequence* entry points."""
-    T, B, _ = xs.shape
+    T, B, D = xs.shape
     order = ("i", "f", "g", "o")
     wi = jnp.concatenate([cell_params[f"i{k}"]["kernel"] for k in order], axis=1)
-    xproj = _mm(xs.reshape(T * B, -1), wi, dt)
     wh = jnp.concatenate([cell_params[f"h{k}"]["kernel"] for k in order], axis=1)
     bh = jnp.concatenate([cell_params[f"h{k}"]["bias"] for k in order])[None, :]
     H = wh.shape[0]
     c0, h0 = carry0
+    rf = resets.astype(jnp.float32).reshape(T, 1, B)
+
+    if _x_stream_ok(B, H, 4, D):
+        # small input dim: stream raw inputs, project in-kernel (see the
+        # x-streaming GRU section; bit-identical forward values)
+        return _lstm_core_x(
+            dt,
+            wi,
+            wh,
+            bh,
+            c0.astype(jnp.float32),
+            h0.astype(jnp.float32),
+            xs.astype(jnp.float32),
+            rf,
+        )
+
+    xproj = _mm(xs.reshape(T * B, -1), wi, dt)
     return _lstm_core(
         dt,
         wh,
@@ -903,7 +1197,7 @@ def _lstm_call(cell_params, carry0, xs, resets, dt):
         c0.astype(jnp.float32),
         h0.astype(jnp.float32),
         xproj.reshape(T, B, 4 * H).astype(jnp.float32),
-        resets.astype(jnp.float32).reshape(T, 1, B),
+        rf,
     )
 
 

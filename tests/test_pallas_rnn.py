@@ -365,3 +365,80 @@ class TestWideInputPath:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
             )
+
+    def test_lstm_wide_input_matches_scan_values_and_grads(self):
+        d_wide = pallas_rnn._X_STREAM_MAX_D + 8  # forces the xproj core
+        mem = Memory(hidden_size=H, rnn_type="lstm", num_layers=1)
+        params = mem.init(
+            jax.random.PRNGKey(4), mem.initialize_carry(B), jnp.zeros((B, d_wide))
+        )["params"]
+        rng = np.random.default_rng(5)
+        xs = jnp.asarray(rng.normal(size=(4, B, d_wide)), jnp.float32)
+        resets = jnp.asarray(rng.random((4, B)) < 0.2)
+        resets = resets.at[0].set(False)
+        carry0 = mem.initialize_carry(B)
+
+        def loss(path):
+            def f(params, xs):
+                if path == "scan":
+                    out = memory_sequence(
+                        lambda c, x: mem.apply({"params": params}, c, x),
+                        carry0, xs, resets,
+                    )
+                else:
+                    out = pallas_rnn.lstm_sequence(
+                        params["cell_0"], carry0[0], xs, resets
+                    )
+                return jnp.sum(out * jnp.cos(out))
+            return f
+
+        want = jax.grad(loss("scan"), argnums=(0, 1))(params, xs)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss("pallas"), argnums=(0, 1))(params, xs)
+        jax.tree_util.tree_map_with_path(
+            lambda p, w, g: np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4, err_msg=str(p)
+            ),
+            want, got,
+        )
+
+    def test_lstm_both_cores_agree(self):
+        """x-streaming and xproj-streaming LSTM cores produce the same
+        values/grads on the same problem (bypassing the D dispatch)."""
+        mem = Memory(hidden_size=H, rnn_type="lstm", num_layers=1)
+        params = mem.init(
+            jax.random.PRNGKey(6), mem.initialize_carry(B), jnp.zeros((B, 64))
+        )["params"]
+        rng = np.random.default_rng(7)
+        xs = jnp.asarray(rng.normal(size=(4, B, 64)), jnp.float32)
+        resets = jnp.asarray(rng.random((4, B)) < 0.2)
+        resets = resets.at[0].set(False)
+        (c0, h0) = (
+            jnp.asarray(rng.normal(size=(B, H)), jnp.float32),
+            jnp.asarray(rng.normal(size=(B, H)), jnp.float32),
+        )
+        p = params["cell_0"]
+        order = ("i", "f", "g", "o")
+        wi = jnp.concatenate([p[f"i{k}"]["kernel"] for k in order], axis=1)
+        wh = jnp.concatenate([p[f"h{k}"]["kernel"] for k in order], axis=1)
+        bh = jnp.concatenate([p[f"h{k}"]["bias"] for k in order])[None, :]
+        Tl = xs.shape[0]
+        r = resets.astype(jnp.float32).reshape(Tl, 1, B)
+
+        def loss_x(wi, wh, xs):
+            hs, _ = pallas_rnn._lstm_core_x(None, wi, wh, bh, c0, h0, xs, r)
+            return jnp.sum(jnp.tanh(hs))
+
+        def loss_xproj(wi, wh, xs):
+            xproj = (xs.reshape(Tl * B, -1) @ wi).reshape(Tl, B, 4 * H)
+            hs, _ = pallas_rnn._lstm_core(None, wh, bh, c0, h0, xproj, r)
+            return jnp.sum(jnp.tanh(hs))
+
+        with pltpu.force_tpu_interpret_mode():
+            va = jax.value_and_grad(loss_x, argnums=(0, 1, 2))(wi, wh, xs)
+            vb = jax.value_and_grad(loss_xproj, argnums=(0, 1, 2))(wi, wh, xs)
+        np.testing.assert_allclose(float(va[0]), float(vb[0]), rtol=1e-6)
+        for a, b in zip(va[1], vb[1]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
