@@ -59,10 +59,13 @@ def main() -> None:
 
     if args.log_dir:
         # export the best seed for deployment through OnPolicyRunner.load
-        rew, _, _ = runner._window_stats(
-            {"ep_reward_sum": np.zeros(args.seeds), "ep_length_sum": np.zeros(args.seeds),
-             "ep_count": np.zeros(args.seeds)}
-        )
+        rew, ep_count = runner.seed_rewards()
+        if ep_count == 0:
+            print(
+                "no completed episodes in the trailing window — cannot rank"
+                " seeds; train longer before exporting a best seed."
+            )
+            return
         best = int(np.argmax(rew))
         path = os.path.join(args.log_dir, f"best_seed_{best}.ckpt")
         runner.save_seed(path, best)

@@ -181,12 +181,9 @@ class Distillation:
 
         policy = self.policy
 
-        if bridge is None:
-            to_device = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
-            to_host = np.asarray
-        else:
-            to_device = bridge.to_global
-            to_host = bridge.to_local_np
+        from rsl_rl_tpu.parallel.host_dp import converters
+
+        to_device, to_host = converters(bridge)
 
         @jax.jit
         def act_step(ps, obs, carry, key):

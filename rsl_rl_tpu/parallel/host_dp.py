@@ -31,9 +31,21 @@ the reference's rank-0 semantics (on_policy_runner.py:51).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.experimental import multihost_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def converters(bridge):
+    """``(to_device, to_host)`` pair for a possibly-``None`` bridge.
+
+    The single definition both host-collection loops (PPO and Distillation)
+    use: without a bridge, plain host<->device conversion; with one, the
+    global-shard/local-shard mapping."""
+    if bridge is None:
+        return (lambda t: jax.tree.map(jnp.asarray, t)), np.asarray
+    return bridge.to_global, bridge.to_local_np
 
 
 class HostShardingBridge:

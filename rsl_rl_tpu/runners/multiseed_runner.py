@@ -132,6 +132,19 @@ class MultiSeedRunner:
         length = sum(e[1] for e in self._ep_window) / safe
         return rew, length, float(count.sum())
 
+    def seed_rewards(self) -> tuple[np.ndarray, float]:
+        """Per-seed trailing-window mean rewards and the total completed
+        episode count in the window (read-only — unlike ``_window_stats``
+        this does not advance the window). Use this to pick a best seed for
+        :meth:`save_seed` export; a count of 0 means no episode has
+        completed and the rewards are meaningless."""
+        if not self._ep_window:
+            return np.zeros(self.num_seeds), 0.0
+        count = sum(e[2] for e in self._ep_window)
+        safe = np.maximum(count, 1.0)
+        rew = sum(e[0] for e in self._ep_window) / safe
+        return np.asarray(rew), float(np.asarray(count).sum())
+
     def _log(self, it: int, m: dict, iteration_time: float) -> None:
         fps = int(
             self.num_steps_per_env * self.env.num_envs * self.num_seeds / iteration_time

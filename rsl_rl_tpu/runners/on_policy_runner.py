@@ -117,9 +117,26 @@ class OnPolicyRunner:
         # batch is num_envs * process_count.
         self._host_bridge = None
         if not self.is_jax_env and (self.num_devices > 1 or jax.process_count() > 1):
-            from rsl_rl_tpu.parallel.host_dp import HostShardingBridge
+            if jax.process_count() == 1 and env.num_envs % num_data_shards != 0:
+                # Auto-bridging onto all visible devices must not break
+                # configs that trained fine single-device before data-parallel
+                # host collection existed; an indivisible env count in a
+                # single process falls back instead of failing construction.
+                # (Multi-process runs fail loudly below: silently dropping DP
+                # there would train N independent runs.)
+                warnings.warn(
+                    f"host env count ({env.num_envs}) is not divisible by the"
+                    f" visible device count ({num_data_shards}); training on a"
+                    " single device. Make num_envs divisible to train"
+                    " data-parallel across devices."
+                )
+                self.mesh = make_mesh([self.mesh.devices.flatten()[0]])
+                self.num_devices = 1
+                num_data_shards = 1
+            else:
+                from rsl_rl_tpu.parallel.host_dp import HostShardingBridge
 
-            self._host_bridge = HostShardingBridge(self.mesh)
+                self._host_bridge = HostShardingBridge(self.mesh)
         self.num_global_envs = env.num_envs * (
             jax.process_count() if not self.is_jax_env else 1
         )
@@ -391,14 +408,25 @@ class OnPolicyRunner:
         first_group = True
         while it < tot_iter:
             k = min(self.iterations_per_dispatch, tot_iter - it)
-            prog = self._k_iterations_cache.get(k)
-            if prog is None:
-                prog = self._k_iterations_cache[k] = self._make_k_program(k)
             if trace_window and it <= trace_window[0] < it + k and self.log_dir:
                 jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
             start = time.time()
-            ts, cs, ms = prog(self.train_state, self.collect_state)
-            ms = jax.device_get(ms)
+            if k == self.iterations_per_dispatch:
+                prog = self._k_iterations_cache.get(k)
+                if prog is None:
+                    prog = self._k_iterations_cache[k] = self._make_k_program(k)
+                ts, cs, ms = prog(self.train_state, self.collect_state)
+                ms = jax.device_get(ms)
+            else:
+                # remainder group: run the tail through the single-iteration
+                # fused program instead of compiling a one-shot k'-step scan
+                # that would execute exactly once
+                ts, cs = self.train_state, self.collect_state
+                tail = []
+                for _ in range(k):
+                    ts, cs, m = self._train_iteration(ts, cs)
+                    tail.append(jax.device_get(m))
+                ms = {key: np.asarray([t[key] for t in tail]) for key in tail[0]}
             elapsed = time.time() - start
             self.train_state, self.collect_state = ts, cs
             if trace_window and it <= trace_window[1] < it + k and self.log_dir:

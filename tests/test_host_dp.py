@@ -110,6 +110,23 @@ class TestSingleProcessHostDP:
             losses[device] = _train_losses(runner)
         _assert_loss_seqs_close(losses["cpu:0"], losses[None])
 
+    def test_indivisible_env_count_falls_back_to_single_device(self):
+        """A single-process host env whose count does not divide the visible
+        devices must warn and train single-device, not fail construction
+        (it trained fine before host DP existed)."""
+        import warnings as _warnings
+
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        env = ShardableHostEnv(num_envs=7)  # 2 CPU devices visible
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            runner = OnPolicyRunner(env, _ppo_cfg(False), log_dir=None)
+        assert runner._host_bridge is None
+        assert runner.num_devices == 1
+        assert any("not divisible" in str(x.message) for x in w)
+        _train_losses(runner, iters=1)  # trains
+
     def test_distillation_bridge_matches_unbridged(self):
         """The distillation hybrid loop through the bridge (algorithm-level:
         the runner requires a loaded teacher, irrelevant to sharding)."""
