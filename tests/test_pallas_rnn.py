@@ -289,6 +289,51 @@ class TestMultiLayer:
         )
 
 
+class TestEndToEndUpdateThroughKernels:
+    """Full recurrent PPO update THROUGH the fused kernels (interpret mode),
+    vs the same update on the scan path. Everything between the kernel-level
+    parity tests and a real TPU run — Memory.sequence dispatch, the actor and
+    critic replay calls inside the minibatch loss, custom-VJP wiring into the
+    optimizer step — is otherwise only exercised on TPU hardware."""
+
+    @pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
+    def test_update_matches_scan_path(self, rnn_type, monkeypatch):
+        from rsl_rl_tpu.algorithms.ppo import PPO
+        from rsl_rl_tpu.env import PointMass
+        from rsl_rl_tpu.modules import ActorCriticRecurrent
+
+        env = PointMass(num_envs=256, max_episode_length=16)
+        _, obs = env.reset(jax.random.PRNGKey(0))
+        policy = ActorCriticRecurrent(
+            obs, {"policy": ["policy"], "critic": ["policy"]}, env.num_actions,
+            rnn_type=rnn_type, rnn_hidden_dim=128,
+            actor_hidden_dims=[32], critic_hidden_dims=[32],
+        )
+        ppo = PPO(policy, num_learning_epochs=1, num_mini_batches=2)
+        ts0 = ppo.init_train_state(jax.random.PRNGKey(1), env.num_envs)
+        cs0 = ppo.init_collect_state(jax.random.PRNGKey(2), env)
+        _, _, rollout, _ = jax.jit(ppo.make_collect_fn(env, 8))(ts0, cs0)
+        update = ppo.make_update_fn()
+
+        # scan path (CPU default: supports_pallas_rnn is False off-TPU)
+        ts_scan, _, um_scan = update(ts0, cs0, rollout)
+
+        # kernel path: force the gate open, run in interpret mode
+        monkeypatch.setattr(pallas_rnn, "supports_pallas_rnn", lambda *a, **k: True)
+        with pltpu.force_tpu_interpret_mode():
+            ts_pal, _, um_pal = update(ts0, cs0, rollout)
+
+        um_scan, um_pal = jax.device_get((um_scan, um_pal))
+        for k in um_scan:
+            np.testing.assert_allclose(
+                um_pal[k], um_scan[k], rtol=2e-4, atol=2e-5, err_msg=f"loss {k}"
+            )
+        a_leaves = jax.tree.leaves(jax.device_get(ts_scan.policy.params))
+        b_leaves = jax.tree.leaves(jax.device_get(ts_pal.policy.params))
+        for a, b in zip(a_leaves, b_leaves):
+            np.testing.assert_allclose(b, a, rtol=3e-4, atol=3e-5)
+
+
 class TestWideInputPath:
     """The GRU dispatches between x-streaming (D <= _X_STREAM_MAX_D) and
     xproj-streaming (wide D) cores; both must match the scan, values and
