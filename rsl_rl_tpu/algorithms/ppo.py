@@ -665,9 +665,10 @@ class PPO:
                 resets = symmetry.tile_batch(resets, num_aug, True)
                 batch_carry0 = symmetry.tile_carry(batch_carry0, num_aug)
 
-        mean, std = policy.act_seq(ps, obs_batch, batch_carry0, resets)
+        # one policy call for actor AND critic: lets the recurrent policy fuse
+        # its two memory replays into a single Pallas dispatch
+        mean, std, value = policy.act_value_seq(ps, obs_batch, batch_carry0, resets)
         logp = distributions.log_prob(mean, std, actions_batch)
-        value = policy.value_seq(ps, obs_batch, batch_carry0, resets)
         entropy = distributions.entropy(first(std))
 
         # analytic KL on the original (non-augmented) part (ppo.py:260-269)

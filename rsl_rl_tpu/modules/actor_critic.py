@@ -191,6 +191,14 @@ class ActorCritic:
         v = self.critic.apply({"params": ps.params["critic"]}, self._critic_in(ps, obs))
         return jnp.squeeze(v, -1)
 
+    def act_value_seq(self, ps, obs, carry0, resets):
+        """Actor distribution AND value for the update batch in one call:
+        ``(mean, std, value)``. The recurrent subclass overrides this to fuse
+        the two memory replays into one kernel dispatch; here it simply
+        chains :meth:`act_seq` and :meth:`value_seq`."""
+        mean, std = self.act_seq(ps, obs, carry0, resets)
+        return mean, std, self.value_seq(ps, obs, carry0, resets)
+
     def act_inference(self, ps: PolicyState, obs: dict[str, jax.Array], carry: Any = ()):
         """Deterministic action (mean), the deployment path
         (reference actor_critic.py:148-151)."""

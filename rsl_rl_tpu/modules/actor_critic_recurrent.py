@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from rsl_rl_tpu.modules.actor_critic import ActorCritic
 from rsl_rl_tpu.modules.policy import PolicyState
-from rsl_rl_tpu.networks.memory import Memory, mask_carry
+from rsl_rl_tpu.networks.memory import Memory, mask_carry, paired_sequence
 from rsl_rl_tpu.ops.running_norm import init_running_norm
 from rsl_rl_tpu.utils.registry import register
 
@@ -148,6 +148,25 @@ class ActorCriticRecurrent(ActorCritic):
         features = self.memory_c.sequence(ps.params["memory_c"], carry0["critic"], x, resets)
         v = self.critic.apply({"params": ps.params["critic"]}, features)
         return jnp.squeeze(v, -1)
+
+    def act_value_seq(self, ps, obs, carry0, resets):
+        """Actor distribution AND value for the update batch, with the two
+        memory replays fused into ONE Pallas dispatch when the stream-paired
+        kernels apply (``networks.memory.paired_sequence``; falls back to two
+        independent replays otherwise — numerically identical either way).
+
+        Same math as the reference replaying the actor then the critic memory
+        back to back per minibatch (actor_critic_recurrent.py:159-176)."""
+        fa, fc = paired_sequence(
+            self.memory_a, ps.params["memory_a"], carry0["actor"],
+            self._actor_in(ps, obs),
+            self.memory_c, ps.params["memory_c"], carry0["critic"],
+            self._critic_in(ps, obs),
+            resets,
+        )
+        mean, std = self._dist_from_features(ps.params, fa)
+        v = self.critic.apply({"params": ps.params["critic"]}, fc)
+        return mean, std, jnp.squeeze(v, -1)
 
     def act_inference(self, ps: PolicyState, obs, carry):
         """Stateful single-step deterministic action

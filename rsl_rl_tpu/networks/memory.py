@@ -172,6 +172,79 @@ class Memory(nn.Module):
         return outs, jax.lax.stop_gradient(final_carry)
 
 
+def paired_sequence(
+    mem_a: Memory,
+    params_a: Any,
+    carry0_a: Any,
+    xs_a: jax.Array,
+    mem_b: Memory,
+    params_b: Any,
+    carry0_b: Any,
+    xs_b: jax.Array,
+    resets: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """BPTT-replay two same-shaped memories, fusing each layer's two replays
+    into ONE Pallas dispatch when the paired kernels apply.
+
+    The recurrent PPO update replays the actor and the critic memory over the
+    same window (same ``[T, B, D]`` input shape, same resets, independent
+    weights) once per minibatch pass; the stream-paired kernels
+    (``ops.pallas_rnn.gru_sequence_pair`` / ``lstm_sequence_pair``) run both
+    in one kernel, halving the fixed per-call pipeline cost. Falls back to
+    two independent :meth:`Memory.sequence` calls whenever the memories are
+    not twins (different cell type/width/depth/dtype), the inputs differ in
+    shape, or the paired shape gate rejects — so this is always safe to call.
+
+    Equivalent to the reference replaying actor then critic memories back to
+    back (reference actor_critic_recurrent.py:159-176); numerically identical
+    to the two separate calls (tests/test_pallas_rnn.py::TestPairedReplay).
+
+    Returns ``(outs_a, outs_b)``, each ``[T, B, H]``.
+    """
+    from rsl_rl_tpu.ops import pallas_rnn
+
+    twins = (
+        mem_a.rnn_type.lower() == mem_b.rnn_type.lower()
+        and mem_a.hidden_size == mem_b.hidden_size
+        and mem_a.num_layers == mem_b.num_layers
+        and mem_a.compute_dtype == mem_b.compute_dtype
+        and xs_a.shape == xs_b.shape
+    )
+    B = xs_a.shape[1]
+    # layer 0 consumes D, deeper layers consume H: both must pass the
+    # x-streaming pair gate for an all-paired stack
+    pairable = twins and pallas_rnn.supports_pallas_rnn(
+        B, mem_a.hidden_size, mem_a.rnn_type
+    )
+    if pairable:
+        dims = {xs_a.shape[-1]} | ({mem_a.hidden_size} if mem_a.num_layers > 1 else set())
+        pairable = all(
+            pallas_rnn.supports_pallas_rnn_pair(B, mem_a.hidden_size, mem_a.rnn_type, d)
+            for d in dims
+        )
+    if not pairable:
+        return (
+            mem_a.sequence(params_a, carry0_a, xs_a, resets),
+            mem_b.sequence(params_b, carry0_b, xs_b, resets),
+        )
+
+    pair_fn = (
+        pallas_rnn.gru_sequence_pair
+        if mem_a.rnn_type.lower() == "gru"
+        else pallas_rnn.lstm_sequence_pair
+    )
+    out_a, out_b = xs_a, xs_b
+    for layer in range(mem_a.num_layers):
+        out_a, out_b = pair_fn(
+            (params_a[f"cell_{layer}"], params_b[f"cell_{layer}"]),
+            (carry0_a[layer], carry0_b[layer]),
+            (out_a, out_b),
+            resets,
+            compute_dtype=mem_a.compute_dtype,
+        )
+    return out_a, out_b
+
+
 def _mm_mixed(a: jax.Array, w: jax.Array, dt) -> jax.Array:
     """bf16-operand matmul with fp32 accumulation — identical to the
     ``_mm`` helper inside the Pallas kernels (ops/pallas_rnn.py)."""

@@ -1164,6 +1164,598 @@ def _lstm_core_x_bwd(dt, res, g):
 _lstm_core_x.defvjp(_lstm_core_x_fwd, _lstm_core_x_bwd)
 
 
+# --------------------------------------------------------------------------
+# stream-paired x-streaming cores: TWO independent recurrences (e.g. the
+# actor and critic memories of a recurrent PPO minibatch) in ONE pallas
+# dispatch. The stream index is the OUTERMOST grid dimension, so stream 0
+# runs its full (T, B) pass before stream 1 starts and the scratch carries
+# can be re-initialised per stream — the kernels compute exactly what two
+# back-to-back single-stream calls would (verified values AND grads in
+# tests/test_pallas_rnn.py::TestPairedReplay), but pay the kernel's fixed
+# pipeline-warmup cost once instead of twice. In the recurrent PPO update
+# the actor and critic replays (same [T, B, D] shape, same resets, different
+# weights) run 2x(epochs x minibatches) times per iteration, so halving the
+# per-call overhead acts directly on the learn-phase floor.
+# --------------------------------------------------------------------------
+
+
+def supports_pallas_rnn_pair(
+    batch: int, hidden: int, rnn_type: str, d: int
+) -> bool:
+    """Shape gate for the stream-paired cores: the single-kernel gate plus the
+    x-streaming VMEM bound (the paired kernels only exist for the x-streaming
+    layout; wide-D callers fall back to two independent fused calls)."""
+    gates = 3 if rnn_type.lower() == "gru" else 4
+    return supports_pallas_rnn(batch, hidden, rnn_type) and _x_stream_ok(
+        batch, hidden, gates, d
+    )
+
+
+def _fwd_kernel_x_pair(
+    dt, x_ref, resets_ref, carry0_ref, wx_ref, bx_ref, wh_ref, bhn_ref, hs_ref, h_scr
+):
+    t = pl.program_id(1)
+    b = pl.program_id(2)
+    H = carry0_ref.shape[-1]
+    BB = carry0_ref.shape[-2]
+    bs = pl.ds(b * BB, BB)
+
+    @pl.when(t == 0)
+    def _():
+        # new stream: load its window-start carry (stream s's grid steps all
+        # run before stream s+1's, so the scratch is free to reuse)
+        h_scr[bs, :] = carry0_ref[0]
+
+    h = h_scr[bs, :] * (1.0 - resets_ref[0, 0, :][:, None])
+    x = _mm(x_ref[0, 0], wx_ref[0], dt) + bx_ref[0, 0]
+    wh = wh_ref[0]
+    r = jax.nn.sigmoid(x[:, :H] + _mm(h, wh[:, :H], dt))
+    z = jax.nn.sigmoid(x[:, H : 2 * H] + _mm(h, wh[:, H : 2 * H], dt))
+    u = _mm(h, wh[:, 2 * H :], dt) + bhn_ref[0, 0]
+    n = jnp.tanh(x[:, 2 * H :] + r * u)
+    h_new = (1.0 - z) * n + z * h
+    h_scr[bs, :] = h_new
+    hs_ref[0, 0] = h_new
+
+
+def _gru_core_x_pair_fwd_impl(wx, bx, wh, bhn, carry0, xs, resets, dt=None):
+    S, T, B, D = xs.shape
+    H = wh.shape[-2]
+    BB = _pick_block_b(B)
+    grid = (S, T, B // BB)
+    return pl.pallas_call(
+        partial(_fwd_kernel_x_pair, dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, BB, D), lambda s, t, b: (s, t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), lambda s, t, b: (t, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), lambda s, t, b: (s, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, 3 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 3 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, BB, H), lambda s, t, b: (s, t, b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, T, B, H), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=S * 2 * T * B * (H + D) * 3 * H,
+            bytes_accessed=4 * S * (T * B * D + T * B * H + (H + D) * 3 * H),
+            transcendentals=S * 3 * T * B * H,
+        ),
+    )(xs, resets, carry0, wx, bx, wh, bhn)
+
+
+def _bwd_kernel_x_pair(
+    dt,
+    x_ref,
+    resets_ref,
+    carry0_ref,
+    wx_ref,
+    bx_ref,
+    wh_ref,
+    bhn_ref,
+    hs_prev_ref,
+    ghs_ref,
+    dx_ref,
+    dcarry0_ref,
+    dwx_ref,
+    dbx_ref,
+    dwh_ref,
+    dbhn_ref,
+    dh_scr,
+    dwx_scr,
+    dbx_scr,
+    dwh_scr,
+    dbhn_scr,
+):
+    T = pl.num_programs(1)
+    g_id = pl.program_id(1)
+    t = T - 1 - g_id
+    b = pl.program_id(2)
+    H = carry0_ref.shape[-1]
+    BB = carry0_ref.shape[-2]
+    bs = pl.ds(b * BB, BB)
+
+    @pl.when(g_id == 0)
+    def _():
+        dh_scr[bs, :] = jnp.zeros((BB, H), jnp.float32)
+
+    @pl.when((g_id == 0) & (b == 0))
+    def _():
+        dwx_scr[:] = jnp.zeros_like(dwx_scr)
+        dbx_scr[:] = jnp.zeros_like(dbx_scr)
+        dwh_scr[:] = jnp.zeros_like(dwh_scr)
+        dbhn_scr[:] = jnp.zeros_like(dbhn_scr)
+
+    reset = resets_ref[0, 0, :][:, None]
+    h_prev_raw = jnp.where(t == 0, carry0_ref[0], hs_prev_ref[0, 0])
+    h = h_prev_raw * (1.0 - reset)
+
+    # recompute forward intermediates for step t (same dt casts as forward)
+    x_raw = x_ref[0, 0]
+    wx = wx_ref[0]
+    x = _mm(x_raw, wx, dt) + bx_ref[0, 0]
+    wh = wh_ref[0]
+    r = jax.nn.sigmoid(x[:, :H] + _mm(h, wh[:, :H], dt))
+    z = jax.nn.sigmoid(x[:, H : 2 * H] + _mm(h, wh[:, H : 2 * H], dt))
+    u = _mm(h, wh[:, 2 * H :], dt) + bhn_ref[0, 0]
+    n = jnp.tanh(x[:, 2 * H :] + r * u)
+
+    g = ghs_ref[0, 0] + dh_scr[bs, :]
+
+    dz = g * (h - n) * z * (1.0 - z)
+    dn_pre = g * (1.0 - z) * (1.0 - n * n)
+    du = dn_pre * r
+    dr_pre = dn_pre * u * r * (1.0 - r)
+
+    dxproj = jnp.concatenate([dr_pre, dz, dn_pre], axis=-1)  # [BB, 3H]
+    dx_ref[0, 0] = _mm(dxproj, wx.T, dt)
+    dwx_scr[:] += _mm(x_raw.T, dxproj, dt)
+    dbx_scr[0, :] += jnp.sum(dxproj, axis=0)
+
+    dgates = jnp.concatenate([dr_pre, dz, du], axis=-1)  # [BB, 3H]
+    dh = g * z + _mm(dgates, wh.T, dt)
+
+    dwh_scr[:] += _mm(h.T, dgates, dt)
+    dbhn_scr[0, :] += jnp.sum(du, axis=0)
+
+    dh_prev = dh * (1.0 - reset)
+    dh_scr[bs, :] = dh_prev
+
+    @pl.when(t == 0)
+    def _():
+        dcarry0_ref[0] = dh_prev
+
+    @pl.when((g_id == T - 1) & (b == pl.num_programs(2) - 1))
+    def _():
+        # end of this stream's pass: flush its weight grads (the out blocks
+        # are stream-indexed, so each stream writes its own block)
+        dwx_ref[0] = dwx_scr[:]
+        dbx_ref[0] = dbx_scr[:]
+        dwh_ref[0] = dwh_scr[:]
+        dbhn_ref[0] = dbhn_scr[:]
+
+
+def _gru_core_x_pair_bwd_impl(wx, bx, wh, bhn, carry0, xs, resets, hs, ghs, dt=None):
+    S, T, B, D = xs.shape
+    H = wh.shape[-2]
+    BB = _pick_block_b(B, max_bb=256)
+    grid = (S, T, B // BB)
+
+    def rev_t(s, t, b):
+        return (s, T - 1 - t, b, 0)
+
+    def rev_t_prev(s, t, b):
+        return (s, jnp.maximum(T - 2 - t, 0), b, 0)
+
+    dx, dcarry0, dwx, dbx, dwh, dbhn = pl.pallas_call(
+        partial(_bwd_kernel_x_pair, dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, BB, D), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), lambda s, t, b: (T - 1 - t, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), lambda s, t, b: (s, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, 3 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 3 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB, H), rev_t_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB, H), rev_t, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, BB, D), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), lambda s, t, b: (s, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, 3 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 3 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, T, B, D), jnp.float32),
+            jax.ShapeDtypeStruct((S, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((S, D, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((S, H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((D, 3 * H), jnp.float32),
+            pltpu.VMEM((1, 3 * H), jnp.float32),
+            pltpu.VMEM((H, 3 * H), jnp.float32),
+            pltpu.VMEM((1, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=S * 6 * T * B * (H + D) * 3 * H,
+            bytes_accessed=4 * S * (2 * T * B * D + 2 * T * B * H + 2 * (H + D) * 3 * H),
+            transcendentals=S * 3 * T * B * H,
+        ),
+    )(xs, resets, carry0, wx, bx, wh, bhn, hs, ghs)
+    return dwx, dbx, dwh, dbhn, dcarry0, dx
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gru_core_x_pair(dt, wx, bx, wh, bhn, carry0, xs, resets):
+    return _gru_core_x_pair_fwd_impl(wx, bx, wh, bhn, carry0, xs, resets, dt=dt)
+
+
+def _gru_core_x_pair_fwd(dt, wx, bx, wh, bhn, carry0, xs, resets):
+    hs = _gru_core_x_pair_fwd_impl(wx, bx, wh, bhn, carry0, xs, resets, dt=dt)
+    return hs, (wx, bx, wh, bhn, carry0, xs, resets, hs)
+
+
+def _gru_core_x_pair_bwd(dt, res, ghs):
+    wx, bx, wh, bhn, carry0, xs, resets, hs = res
+    dwx, dbx, dwh, dbhn, dcarry0, dx = _gru_core_x_pair_bwd_impl(
+        wx, bx, wh, bhn, carry0, xs, resets, hs, ghs, dt=dt
+    )
+    return dwx, dbx, dwh, dbhn, dcarry0, dx, jnp.zeros_like(resets)
+
+
+_gru_core_x_pair.defvjp(_gru_core_x_pair_fwd, _gru_core_x_pair_bwd)
+
+
+def _gru_pack(cell_params):
+    """flax GRUCell param dict -> (wi [D,3H], bi [3H], wh [H,3H], bhn [H])."""
+    wi = jnp.concatenate(
+        [cell_params["ir"]["kernel"], cell_params["iz"]["kernel"], cell_params["in"]["kernel"]],
+        axis=1,
+    )
+    bi = jnp.concatenate(
+        [cell_params["ir"]["bias"], cell_params["iz"]["bias"], cell_params["in"]["bias"]]
+    )
+    wh = jnp.concatenate(
+        [cell_params["hr"]["kernel"], cell_params["hz"]["kernel"], cell_params["hn"]["kernel"]],
+        axis=1,
+    )
+    return wi, bi, wh, cell_params["hn"]["bias"]
+
+
+def gru_sequence_pair(
+    cell_params_pair: tuple,
+    carry0_pair: tuple,
+    xs_pair: tuple,
+    resets: jax.Array,
+    compute_dtype=None,
+) -> tuple[jax.Array, jax.Array]:
+    """Two independent GRU window replays fused into one kernel dispatch.
+
+    Both streams must share shapes (``[T, B, D]`` inputs, ``[B, H]`` carries)
+    and the reset mask; weights are independent per stream. Equivalent to two
+    :func:`gru_sequence` calls (the paired kernels run the streams
+    back-to-back inside one grid) but pays the fixed per-call pipeline
+    warmup once. Caller must check :func:`supports_pallas_rnn_pair` first.
+
+    Returns ``(hs_a, hs_b)``, each ``[T, B, H]``.
+    """
+    T, B, D = xs_pair[0].shape
+    packed = [_gru_pack(p) for p in cell_params_pair]
+    wx = jnp.stack([p[0] for p in packed])
+    bx = jnp.stack([p[1][None, :] for p in packed])
+    wh = jnp.stack([p[2] for p in packed])
+    bhn = jnp.stack([p[3][None, :] for p in packed])
+    carry0 = jnp.stack([c.astype(jnp.float32) for c in carry0_pair])
+    xs = jnp.stack([x.astype(jnp.float32) for x in xs_pair])
+    hs = _gru_core_x_pair(
+        compute_dtype, wx, bx, wh, bhn, carry0, xs,
+        resets.astype(jnp.float32).reshape(T, 1, B),
+    )
+    return hs[0], hs[1]
+
+
+def _lstm_fwd_kernel_x_pair(
+    dt, x_ref, resets_ref, c0_ref, h0_ref, wx_ref, wh_ref, bh_ref,
+    hs_ref, cs_ref, c_scr, h_scr,
+):
+    t = pl.program_id(1)
+    b = pl.program_id(2)
+    H = h0_ref.shape[-1]
+    BB = h0_ref.shape[-2]
+    bs = pl.ds(b * BB, BB)
+
+    @pl.when(t == 0)
+    def _():
+        c_scr[bs, :] = c0_ref[0]
+        h_scr[bs, :] = h0_ref[0]
+
+    keep = 1.0 - resets_ref[0, 0, :][:, None]
+    c = c_scr[bs, :] * keep
+    h = h_scr[bs, :] * keep
+    gates = _mm(x_ref[0, 0], wx_ref[0], dt) + _mm(h, wh_ref[0], dt) + bh_ref[0, 0]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    c_scr[bs, :] = c_new
+    h_scr[bs, :] = h_new
+    hs_ref[0, 0] = h_new
+    cs_ref[0, 0] = c_new
+
+
+def _lstm_core_x_pair_fwd_impl(wx, wh, bh, c0, h0, xs, resets, dt=None):
+    S, T, B, D = xs.shape
+    H = wh.shape[-2]
+    BB = _pick_block_b(B)
+    grid = (S, T, B // BB)
+    return pl.pallas_call(
+        partial(_lstm_fwd_kernel_x_pair, dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, BB, D), lambda s, t, b: (s, t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), lambda s, t, b: (t, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), lambda s, t, b: (s, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), lambda s, t, b: (s, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, 4 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 4 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, BB, H), lambda s, t, b: (s, t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB, H), lambda s, t, b: (s, t, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((S, T, B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=S * 2 * T * B * (H + D) * 4 * H,
+            bytes_accessed=4 * S * (T * B * D + 2 * T * B * H + (H + D) * 4 * H),
+            transcendentals=S * 4 * T * B * H,
+        ),
+    )(xs, resets, c0, h0, wx, wh, bh)
+
+
+def _lstm_bwd_kernel_x_pair(
+    dt,
+    x_ref,
+    resets_ref,
+    c0_ref,
+    h0_ref,
+    wx_ref,
+    wh_ref,
+    bh_ref,
+    hs_prev_ref,
+    cs_prev_ref,
+    cs_ref,
+    ghs_ref,
+    dx_ref,
+    dc0_ref,
+    dh0_ref,
+    dwx_ref,
+    dwh_ref,
+    dbh_ref,
+    dc_scr,
+    dh_scr,
+    dwx_scr,
+    dwh_scr,
+    dbh_scr,
+):
+    T = pl.num_programs(1)
+    g_id = pl.program_id(1)
+    t = T - 1 - g_id
+    b = pl.program_id(2)
+    H = h0_ref.shape[-1]
+    BB = h0_ref.shape[-2]
+    bs = pl.ds(b * BB, BB)
+
+    @pl.when(g_id == 0)
+    def _():
+        dc_scr[bs, :] = jnp.zeros((BB, H), jnp.float32)
+        dh_scr[bs, :] = jnp.zeros((BB, H), jnp.float32)
+
+    @pl.when((g_id == 0) & (b == 0))
+    def _():
+        dwx_scr[:] = jnp.zeros_like(dwx_scr)
+        dwh_scr[:] = jnp.zeros_like(dwh_scr)
+        dbh_scr[:] = jnp.zeros_like(dbh_scr)
+
+    keep = 1.0 - resets_ref[0, 0, :][:, None]
+    c_prev = jnp.where(t == 0, c0_ref[0], cs_prev_ref[0, 0]) * keep
+    h_prev = jnp.where(t == 0, h0_ref[0], hs_prev_ref[0, 0]) * keep
+
+    # recompute gates of step t (same dt casts as forward)
+    x_raw = x_ref[0, 0]
+    wx = wx_ref[0]
+    gates = _mm(x_raw, wx, dt) + _mm(h_prev, wh_ref[0], dt) + bh_ref[0, 0]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c_new = cs_ref[0, 0]
+    tc = jnp.tanh(c_new)
+
+    gh = ghs_ref[0, 0] + dh_scr[bs, :]
+    gc = dc_scr[bs, :] + gh * o * (1.0 - tc * tc)
+
+    do_pre = gh * tc * o * (1.0 - o)
+    df_pre = gc * c_prev * f * (1.0 - f)
+    di_pre = gc * g * i * (1.0 - i)
+    dg_pre = gc * i * (1.0 - g * g)
+
+    dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=-1)
+    dx_ref[0, 0] = _mm(dgates, wx.T, dt)
+    dwx_scr[:] += _mm(x_raw.T, dgates, dt)
+
+    dh = _mm(dgates, wh_ref[0].T, dt)
+    dc = gc * f
+
+    dwh_scr[:] += _mm(h_prev.T, dgates, dt)
+    dbh_scr[0, :] += jnp.sum(dgates, axis=0)
+
+    dh_prev = dh * keep
+    dc_prev = dc * keep
+    dh_scr[bs, :] = dh_prev
+    dc_scr[bs, :] = dc_prev
+
+    @pl.when(t == 0)
+    def _():
+        dc0_ref[0] = dc_prev
+        dh0_ref[0] = dh_prev
+
+    @pl.when((g_id == T - 1) & (b == pl.num_programs(2) - 1))
+    def _():
+        dwx_ref[0] = dwx_scr[:]
+        dwh_ref[0] = dwh_scr[:]
+        dbh_ref[0] = dbh_scr[:]
+
+
+def _lstm_core_x_pair_bwd_impl(wx, wh, bh, c0, h0, xs, resets, hs, cs, ghs, dt=None):
+    S, T, B, D = xs.shape
+    H = wh.shape[-2]
+    BB = _pick_block_b(B, max_bb=256)
+    grid = (S, T, B // BB)
+
+    def rev_t(s, t, b):
+        return (s, T - 1 - t, b, 0)
+
+    def rev_t_prev(s, t, b):
+        return (s, jnp.maximum(T - 2 - t, 0), b, 0)
+
+    dx, dc0, dh0, dwx, dwh, dbh = pl.pallas_call(
+        partial(_lstm_bwd_kernel_x_pair, dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, BB, D), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB), lambda s, t, b: (T - 1 - t, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), lambda s, t, b: (s, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), lambda s, t, b: (s, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, 4 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 4 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB, H), rev_t_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB, H), rev_t_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB, H), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BB, H), rev_t, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, BB, D), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), lambda s, t, b: (s, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), lambda s, t, b: (s, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, 4 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 4 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * H), lambda s, t, b: (s, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, T, B, D), jnp.float32),
+            jax.ShapeDtypeStruct((S, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((S, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((S, D, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((S, H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, 4 * H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((D, 4 * H), jnp.float32),
+            pltpu.VMEM((H, 4 * H), jnp.float32),
+            pltpu.VMEM((1, 4 * H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=S * 6 * T * B * (H + D) * 4 * H,
+            bytes_accessed=4 * S * (2 * T * B * D + 4 * T * B * H + 2 * (H + D) * 4 * H),
+            transcendentals=S * 5 * T * B * H,
+        ),
+    )(xs, resets, c0, h0, wx, wh, bh, hs, cs, cs, ghs)
+    return dwx, dwh, dbh, dc0, dh0, dx
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lstm_core_x_pair(dt, wx, wh, bh, c0, h0, xs, resets):
+    hs, _cs = _lstm_core_x_pair_fwd_impl(wx, wh, bh, c0, h0, xs, resets, dt=dt)
+    return hs
+
+
+def _lstm_core_x_pair_fwd(dt, wx, wh, bh, c0, h0, xs, resets):
+    hs, cs = _lstm_core_x_pair_fwd_impl(wx, wh, bh, c0, h0, xs, resets, dt=dt)
+    return hs, (wx, wh, bh, c0, h0, xs, resets, hs, cs)
+
+
+def _lstm_core_x_pair_bwd(dt, res, ghs):
+    wx, wh, bh, c0, h0, xs, resets, hs, cs = res
+    dwx, dwh, dbh, dc0, dh0, dx = _lstm_core_x_pair_bwd_impl(
+        wx, wh, bh, c0, h0, xs, resets, hs, cs, ghs, dt=dt
+    )
+    return dwx, dwh, dbh, dc0, dh0, dx, jnp.zeros_like(resets)
+
+
+_lstm_core_x_pair.defvjp(_lstm_core_x_pair_fwd, _lstm_core_x_pair_bwd)
+
+
+def _lstm_pack(cell_params):
+    """flax OptimizedLSTMCell param dict -> (wi [D,4H], wh [H,4H], bh [4H])."""
+    order = ("i", "f", "g", "o")
+    wi = jnp.concatenate([cell_params[f"i{k}"]["kernel"] for k in order], axis=1)
+    wh = jnp.concatenate([cell_params[f"h{k}"]["kernel"] for k in order], axis=1)
+    bh = jnp.concatenate([cell_params[f"h{k}"]["bias"] for k in order])
+    return wi, wh, bh
+
+
+def lstm_sequence_pair(
+    cell_params_pair: tuple,
+    carry0_pair: tuple,
+    xs_pair: tuple,
+    resets: jax.Array,
+    compute_dtype=None,
+) -> tuple[jax.Array, jax.Array]:
+    """Two independent LSTM window replays fused into one kernel dispatch;
+    see :func:`gru_sequence_pair`. ``carry0_pair`` holds each stream's
+    ``(c0, h0)`` tuple. Returns ``(hs_a, hs_b)``."""
+    T, B, D = xs_pair[0].shape
+    packed = [_lstm_pack(p) for p in cell_params_pair]
+    wx = jnp.stack([p[0] for p in packed])
+    wh = jnp.stack([p[1] for p in packed])
+    bh = jnp.stack([p[2][None, :] for p in packed])
+    c0 = jnp.stack([c[0].astype(jnp.float32) for c in carry0_pair])
+    h0 = jnp.stack([c[1].astype(jnp.float32) for c in carry0_pair])
+    xs = jnp.stack([x.astype(jnp.float32) for x in xs_pair])
+    hs = _lstm_core_x_pair(
+        compute_dtype, wx, wh, bh, c0, h0, xs,
+        resets.astype(jnp.float32).reshape(T, 1, B),
+    )
+    return hs[0], hs[1]
+
+
 def _lstm_call(cell_params, carry0, xs, resets, dt):
     """Shared prep for the lstm_sequence* entry points."""
     T, B, D = xs.shape

@@ -487,3 +487,108 @@ class TestWideInputPath:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
             )
+
+
+class TestPairedReplay:
+    """Stream-paired kernels (actor+critic replays in ONE dispatch) vs two
+    independent scan replays — values AND grads, both cell types."""
+
+    def _second(self, mem, carry0, rng):
+        params_b = mem.init(
+            jax.random.PRNGKey(7), mem.initialize_carry(B), jnp.zeros((B, D))
+        )["params"]
+        if mem.rnn_type == "gru":
+            carry0_b = (jnp.asarray(rng.normal(size=(B, H)), jnp.float32),)
+        else:
+            carry0_b = (
+                (
+                    jnp.asarray(rng.normal(size=(B, H)), jnp.float32),
+                    jnp.asarray(rng.normal(size=(B, H)), jnp.float32),
+                ),
+            )
+        return params_b, carry0_b
+
+    def test_values_match_two_scans(self, setup, monkeypatch):
+        from rsl_rl_tpu.networks.memory import paired_sequence
+
+        mem, params_a, carry0_a, xs_a, resets = setup
+        rng = np.random.default_rng(5)
+        params_b, carry0_b = self._second(mem, carry0_a, rng)
+        xs_b = jnp.asarray(rng.normal(size=(T, B, D)), jnp.float32)
+
+        want_a = _scan_path(mem, params_a, carry0_a, xs_a, resets)
+        want_b = _scan_path(mem, params_b, carry0_b, xs_b, resets)
+
+        monkeypatch.setattr(pallas_rnn, "supports_pallas_rnn", lambda *a, **k: True)
+        with pltpu.force_tpu_interpret_mode():
+            got_a, got_b = paired_sequence(
+                mem, params_a, carry0_a, xs_a, mem, params_b, carry0_b, xs_b, resets
+            )
+        np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b), rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_two_scans(self, setup, monkeypatch):
+        from rsl_rl_tpu.networks.memory import paired_sequence
+
+        mem, params_a, carry0_a, xs_a, resets = setup
+        rng = np.random.default_rng(6)
+        params_b, carry0_b = self._second(mem, carry0_a, rng)
+        xs_b = jnp.asarray(rng.normal(size=(T, B, D)), jnp.float32)
+
+        # distinct per-stream output weights so the cotangents differ
+        def head(out_a, out_b):
+            return jnp.sum(out_a * jnp.cos(out_a)) + jnp.sum(jnp.sin(out_b) * out_b)
+
+        def loss_scan(args):
+            pa, ca, xa, pb, cb, xb = args
+            return head(
+                _scan_path(mem, pa, ca, xa, resets), _scan_path(mem, pb, cb, xb, resets)
+            )
+
+        def loss_pair(args):
+            pa, ca, xa, pb, cb, xb = args
+            out_a, out_b = paired_sequence(
+                mem, pa, ca, xa, mem, pb, cb, xb, resets
+            )
+            return head(out_a, out_b)
+
+        args = (params_a, carry0_a, xs_a, params_b, carry0_b, xs_b)
+        want = jax.grad(loss_scan)(args)
+        monkeypatch.setattr(pallas_rnn, "supports_pallas_rnn", lambda *a, **k: True)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_pair)(args)
+
+        jax.tree_util.tree_map_with_path(
+            lambda p, w, g: np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(p)}",
+            ),
+            want,
+            got,
+        )
+
+    def test_non_twin_fallback(self, setup):
+        """Different input shapes must take the two-independent-calls path
+        (no pairing possible) and still be numerically exact."""
+        from rsl_rl_tpu.networks.memory import paired_sequence
+
+        mem, params_a, carry0_a, xs_a, resets = setup
+        rng = np.random.default_rng(8)
+        D2 = D + 3
+        params_b = mem.init(
+            jax.random.PRNGKey(9), mem.initialize_carry(B), jnp.zeros((B, D2))
+        )["params"]
+        carry0_b = jax.tree.map(jnp.zeros_like, carry0_a)
+        xs_b = jnp.asarray(rng.normal(size=(T, B, D2)), jnp.float32)
+
+        got_a, got_b = paired_sequence(
+            mem, params_a, carry0_a, xs_a, mem, params_b, carry0_b, xs_b, resets
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_a), np.asarray(_scan_path(mem, params_a, carry0_a, xs_a, resets)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_b), np.asarray(_scan_path(mem, params_b, carry0_b, xs_b, resets)),
+            rtol=1e-5, atol=1e-5,
+        )
