@@ -592,3 +592,76 @@ class TestPairedReplay:
             np.asarray(got_b), np.asarray(_scan_path(mem, params_b, carry0_b, xs_b, resets)),
             rtol=1e-5, atol=1e-5,
         )
+
+
+class TestPairedReplayModes:
+    """Paired kernels under the remaining dispatch modes: bf16 compute
+    operands and two-layer stacks (pairing applies per layer)."""
+
+    def test_bf16_paired_matches_bf16_singles(self, setup, monkeypatch):
+        """bf16 paired replay must match the bf16 single-stream kernels
+        exactly: identical dot products, identical operand casts, only the
+        dispatch differs."""
+        mem, params_a, carry0_a, xs_a, resets = setup
+        rng = np.random.default_rng(11)
+        params_b = mem.init(
+            jax.random.PRNGKey(12), mem.initialize_carry(B), jnp.zeros((B, D))
+        )["params"]
+        xs_b = jnp.asarray(rng.normal(size=(T, B, D)), jnp.float32)
+        carry0_b = jax.tree.map(jnp.zeros_like, carry0_a)
+
+        if mem.rnn_type == "gru":
+            single = lambda p, c, x: pallas_rnn.gru_sequence(
+                p["cell_0"], c[0], x, resets, compute_dtype=jnp.bfloat16
+            )
+            pair = lambda: pallas_rnn.gru_sequence_pair(
+                (params_a["cell_0"], params_b["cell_0"]),
+                (carry0_a[0], carry0_b[0]),
+                (xs_a, xs_b),
+                resets,
+                compute_dtype=jnp.bfloat16,
+            )
+        else:
+            single = lambda p, c, x: pallas_rnn.lstm_sequence(
+                p["cell_0"], c[0], x, resets, compute_dtype=jnp.bfloat16
+            )
+            pair = lambda: pallas_rnn.lstm_sequence_pair(
+                (params_a["cell_0"], params_b["cell_0"]),
+                (carry0_a[0], carry0_b[0]),
+                (xs_a, xs_b),
+                resets,
+                compute_dtype=jnp.bfloat16,
+            )
+
+        with pltpu.force_tpu_interpret_mode():
+            want_a = single(params_a, carry0_a, xs_a)
+            want_b = single(params_b, carry0_b, xs_b)
+            got_a, got_b = pair()
+        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+        np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
+
+    @pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
+    def test_two_layer_paired_matches_scan(self, rnn_type, monkeypatch):
+        from rsl_rl_tpu.networks.memory import paired_sequence
+
+        mem = Memory(hidden_size=H, rnn_type=rnn_type, num_layers=2)
+        carry0_a = mem.initialize_carry(B)
+        carry0_b = mem.initialize_carry(B)
+        params_a = mem.init(jax.random.PRNGKey(3), carry0_a, jnp.zeros((B, D)))["params"]
+        params_b = mem.init(jax.random.PRNGKey(4), carry0_b, jnp.zeros((B, D)))["params"]
+        rng = np.random.default_rng(13)
+        xs_a = jnp.asarray(rng.normal(size=(T, B, D)), jnp.float32)
+        xs_b = jnp.asarray(rng.normal(size=(T, B, D)), jnp.float32)
+        resets = jnp.asarray(rng.random((T, B)) < 0.2)
+        resets = resets.at[0].set(False)
+
+        want_a = _scan_path(mem, params_a, carry0_a, xs_a, resets)
+        want_b = _scan_path(mem, params_b, carry0_b, xs_b, resets)
+
+        monkeypatch.setattr(pallas_rnn, "supports_pallas_rnn", lambda *a, **k: True)
+        with pltpu.force_tpu_interpret_mode():
+            got_a, got_b = paired_sequence(
+                mem, params_a, carry0_a, xs_a, mem, params_b, carry0_b, xs_b, resets
+            )
+        np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b), rtol=1e-5, atol=1e-5)
