@@ -211,17 +211,13 @@ def paired_sequence(
         and xs_a.shape == xs_b.shape
     )
     B = xs_a.shape[1]
-    # layer 0 consumes D, deeper layers consume H: both must pass the
-    # x-streaming pair gate for an all-paired stack
-    pairable = twins and pallas_rnn.supports_pallas_rnn(
-        B, mem_a.hidden_size, mem_a.rnn_type
+    # layer 0 consumes D, deeper layers consume H: every layer must pass the
+    # paired gate for an all-paired stack
+    dims = {xs_a.shape[-1]} | ({mem_a.hidden_size} if mem_a.num_layers > 1 else set())
+    pairable = twins and all(
+        pallas_rnn.supports_pallas_rnn_pair(B, mem_a.hidden_size, mem_a.rnn_type, d)
+        for d in dims
     )
-    if pairable:
-        dims = {xs_a.shape[-1]} | ({mem_a.hidden_size} if mem_a.num_layers > 1 else set())
-        pairable = all(
-            pallas_rnn.supports_pallas_rnn_pair(B, mem_a.hidden_size, mem_a.rnn_type, d)
-            for d in dims
-        )
     if not pairable:
         return (
             mem_a.sequence(params_a, carry0_a, xs_a, resets),

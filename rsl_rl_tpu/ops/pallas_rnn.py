@@ -57,6 +57,33 @@ def _pick_block_b(batch: int, max_bb: int = 512) -> int | None:
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # ~16 MiB/core, leave pipeline headroom
 
 
+def _gru_pack(cell_params):
+    """flax GRUCell param dict -> (wi [D,3H], bi [3H], wh [H,3H], bhn [H]);
+    gate ordering r|z|n — the single source of the kernels' weight layout."""
+    wi = jnp.concatenate(
+        [cell_params["ir"]["kernel"], cell_params["iz"]["kernel"], cell_params["in"]["kernel"]],
+        axis=1,
+    )
+    bi = jnp.concatenate(
+        [cell_params["ir"]["bias"], cell_params["iz"]["bias"], cell_params["in"]["bias"]]
+    )
+    wh = jnp.concatenate(
+        [cell_params["hr"]["kernel"], cell_params["hz"]["kernel"], cell_params["hn"]["kernel"]],
+        axis=1,
+    )
+    return wi, bi, wh, cell_params["hn"]["bias"]
+
+
+def _lstm_pack(cell_params):
+    """flax OptimizedLSTMCell param dict -> (wi [D,4H], wh [H,4H], bh [4H]);
+    gate ordering i|f|g|o — the single source of the kernels' weight layout."""
+    order = ("i", "f", "g", "o")
+    wi = jnp.concatenate([cell_params[f"i{k}"]["kernel"] for k in order], axis=1)
+    wh = jnp.concatenate([cell_params[f"h{k}"]["kernel"] for k in order], axis=1)
+    bh = jnp.concatenate([cell_params[f"h{k}"]["bias"] for k in order])
+    return wi, wh, bh
+
+
 def _vmem_footprint_bytes(batch: int, hidden: int, gates: int) -> int:
     """Conservative VMEM bound for the worst kernel of a sequence (the BPTT
     backward): full-batch carry scratch, weight + weight-grad blocks, and
@@ -609,19 +636,8 @@ def gru_sequence(
         ``[T, B, H]`` hidden outputs.
     """
     T, B, D = xs.shape
-    # gate weight/bias ordering r|z|n
-    wi = jnp.concatenate(
-        [cell_params["ir"]["kernel"], cell_params["iz"]["kernel"], cell_params["in"]["kernel"]],
-        axis=1,
-    )
-    bi = jnp.concatenate(
-        [cell_params["ir"]["bias"], cell_params["iz"]["bias"], cell_params["in"]["bias"]]
-    )
-    wh = jnp.concatenate(
-        [cell_params["hr"]["kernel"], cell_params["hz"]["kernel"], cell_params["hn"]["kernel"]],
-        axis=1,
-    )
-    bhn = cell_params["hn"]["bias"][None, :]
+    wi, bi, wh, bhn = _gru_pack(cell_params)  # gate ordering r|z|n
+    bhn = bhn[None, :]
     H = wh.shape[0]
 
     if _x_stream_ok(B, H, 3, D):
@@ -1179,14 +1195,38 @@ _lstm_core_x.defvjp(_lstm_core_x_fwd, _lstm_core_x_bwd)
 # --------------------------------------------------------------------------
 
 
+def _x_stream_pair_ok(batch: int, hidden: int, gates: int, d: int) -> bool:
+    """VMEM bound for the worst paired kernel (the BPTT backward).
+
+    Differs from ``_x_stream_ok``: blocks whose index map was constant in the
+    single-stream kernels (weights, biases, carry0, and the weight-grad /
+    carry-grad outputs) are stream-indexed here, so the pipeline statically
+    allocates a second (double) buffer for each of them."""
+    bb = _pick_block_b(batch, max_bb=256) or 128
+    carry_scratch = (2 if gates == 4 else 1) * batch * hidden
+    weight_scratch = (d + hidden) * gates * hidden
+    # double-buffered, stream-indexed: weight + weight-grad blocks (in AND
+    # out), carry0 in + dcarry0 out
+    dbuf = 2 * (2 * (d + hidden) * gates * hidden + 2 * bb * hidden)
+    # double-buffered streamed blocks: x + dx, plus the per-step hidden
+    # streams (gru: hs_prev + ghs; lstm: hs_prev + cs_prev + cs + ghs)
+    streamed = 2 * (2 * bb * d + (2 if gates == 3 else 4) * bb * hidden)
+    return (
+        d <= _X_STREAM_MAX_D
+        and 4 * (carry_scratch + weight_scratch + dbuf + streamed)
+        <= _VMEM_BUDGET_BYTES
+    )
+
+
 def supports_pallas_rnn_pair(
     batch: int, hidden: int, rnn_type: str, d: int
 ) -> bool:
     """Shape gate for the stream-paired cores: the single-kernel gate plus the
-    x-streaming VMEM bound (the paired kernels only exist for the x-streaming
-    layout; wide-D callers fall back to two independent fused calls)."""
+    paired x-streaming VMEM bound (the paired kernels only exist for the
+    x-streaming layout; wide-D callers fall back to two independent fused
+    calls)."""
     gates = 3 if rnn_type.lower() == "gru" else 4
-    return supports_pallas_rnn(batch, hidden, rnn_type) and _x_stream_ok(
+    return supports_pallas_rnn(batch, hidden, rnn_type) and _x_stream_pair_ok(
         batch, hidden, gates, d
     )
 
@@ -1422,22 +1462,6 @@ def _gru_core_x_pair_bwd(dt, res, ghs):
 
 
 _gru_core_x_pair.defvjp(_gru_core_x_pair_fwd, _gru_core_x_pair_bwd)
-
-
-def _gru_pack(cell_params):
-    """flax GRUCell param dict -> (wi [D,3H], bi [3H], wh [H,3H], bhn [H])."""
-    wi = jnp.concatenate(
-        [cell_params["ir"]["kernel"], cell_params["iz"]["kernel"], cell_params["in"]["kernel"]],
-        axis=1,
-    )
-    bi = jnp.concatenate(
-        [cell_params["ir"]["bias"], cell_params["iz"]["bias"], cell_params["in"]["bias"]]
-    )
-    wh = jnp.concatenate(
-        [cell_params["hr"]["kernel"], cell_params["hz"]["kernel"], cell_params["hn"]["kernel"]],
-        axis=1,
-    )
-    return wi, bi, wh, cell_params["hn"]["bias"]
 
 
 def gru_sequence_pair(
@@ -1722,15 +1746,6 @@ def _lstm_core_x_pair_bwd(dt, res, ghs):
 _lstm_core_x_pair.defvjp(_lstm_core_x_pair_fwd, _lstm_core_x_pair_bwd)
 
 
-def _lstm_pack(cell_params):
-    """flax OptimizedLSTMCell param dict -> (wi [D,4H], wh [H,4H], bh [4H])."""
-    order = ("i", "f", "g", "o")
-    wi = jnp.concatenate([cell_params[f"i{k}"]["kernel"] for k in order], axis=1)
-    wh = jnp.concatenate([cell_params[f"h{k}"]["kernel"] for k in order], axis=1)
-    bh = jnp.concatenate([cell_params[f"h{k}"]["bias"] for k in order])
-    return wi, wh, bh
-
-
 def lstm_sequence_pair(
     cell_params_pair: tuple,
     carry0_pair: tuple,
@@ -1759,10 +1774,8 @@ def lstm_sequence_pair(
 def _lstm_call(cell_params, carry0, xs, resets, dt):
     """Shared prep for the lstm_sequence* entry points."""
     T, B, D = xs.shape
-    order = ("i", "f", "g", "o")
-    wi = jnp.concatenate([cell_params[f"i{k}"]["kernel"] for k in order], axis=1)
-    wh = jnp.concatenate([cell_params[f"h{k}"]["kernel"] for k in order], axis=1)
-    bh = jnp.concatenate([cell_params[f"h{k}"]["bias"] for k in order])[None, :]
+    wi, wh, bh = _lstm_pack(cell_params)  # gate ordering i|f|g|o
+    bh = bh[None, :]
     H = wh.shape[0]
     c0, h0 = carry0
     rf = resets.astype(jnp.float32).reshape(T, 1, B)

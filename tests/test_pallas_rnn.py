@@ -665,3 +665,56 @@ class TestPairedReplayModes:
             )
         np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b), rtol=1e-5, atol=1e-5)
+
+    def test_bf16_paired_grads_match_bf16_singles(self, setup):
+        """The paired bwd kernels recompute with the same dt casts as the
+        single-stream bwd kernels — gradients must match them exactly."""
+        mem, params_a, carry0_a, xs_a, resets = setup
+        rng = np.random.default_rng(14)
+        params_b = mem.init(
+            jax.random.PRNGKey(15), mem.initialize_carry(B), jnp.zeros((B, D))
+        )["params"]
+        xs_b = jnp.asarray(rng.normal(size=(T, B, D)), jnp.float32)
+        carry0_b = jax.tree.map(jnp.zeros_like, carry0_a)
+
+        def head(out_a, out_b):
+            return jnp.sum(out_a * jnp.cos(out_a)) + jnp.sum(jnp.sin(out_b) * out_b)
+
+        if mem.rnn_type == "gru":
+            seq = lambda p, c, x: pallas_rnn.gru_sequence(
+                p["cell_0"], c[0], x, resets, compute_dtype=jnp.bfloat16
+            )
+            pair = lambda pa, ca, xa, pb, cb, xb: pallas_rnn.gru_sequence_pair(
+                (pa["cell_0"], pb["cell_0"]), (ca[0], cb[0]), (xa, xb), resets,
+                compute_dtype=jnp.bfloat16,
+            )
+        else:
+            seq = lambda p, c, x: pallas_rnn.lstm_sequence(
+                p["cell_0"], c[0], x, resets, compute_dtype=jnp.bfloat16
+            )
+            pair = lambda pa, ca, xa, pb, cb, xb: pallas_rnn.lstm_sequence_pair(
+                (pa["cell_0"], pb["cell_0"]), (ca[0], cb[0]), (xa, xb), resets,
+                compute_dtype=jnp.bfloat16,
+            )
+
+        def loss_singles(args):
+            pa, ca, xa, pb, cb, xb = args
+            return head(seq(pa, ca, xa), seq(pb, cb, xb))
+
+        def loss_pair(args):
+            out_a, out_b = pair(*args)
+            return head(out_a, out_b)
+
+        args = (params_a, carry0_a, xs_a, params_b, carry0_b, xs_b)
+        with pltpu.force_tpu_interpret_mode():
+            want = jax.grad(loss_singles)(args)
+            got = jax.grad(loss_pair)(args)
+
+        jax.tree_util.tree_map_with_path(
+            lambda p, w, g: np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-7,
+                err_msg=f"bf16 grad mismatch at {jax.tree_util.keystr(p)}",
+            ),
+            want,
+            got,
+        )
