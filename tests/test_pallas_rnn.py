@@ -718,3 +718,22 @@ class TestPairedReplayModes:
             want,
             got,
         )
+
+
+class TestPairGate:
+    """Shape-gate regressions for the paired kernels."""
+
+    def test_bench_shape_admitted(self):
+        # the bench recurrent workload's minibatch: GRU-256, B=4096/4, D=15
+        assert pallas_rnn._x_stream_pair_ok(1024, 256, 3, 15)
+
+    def test_double_buffered_weights_counted(self):
+        """H=256, D=512, B=1024 passes the single-stream estimate but the
+        paired backward double-buffers the stream-indexed weight and
+        weight-grad blocks (~4.7 MB extra), overcommitting VMEM — the pair
+        gate must reject it (the single gate may keep admitting it)."""
+        assert pallas_rnn._x_stream_ok(1024, 256, 3, 512)
+        assert not pallas_rnn._x_stream_pair_ok(1024, 256, 3, 512)
+
+    def test_wide_d_rejected(self):
+        assert not pallas_rnn._x_stream_pair_ok(1024, 256, 3, 1024)
