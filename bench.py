@@ -7,7 +7,8 @@ physics-grade FLOPs like the MJX workloads the north star names
 (BASELINE.json:5), not a closed-form toy update — trained in **bf16** MXU
 compute (fp32 params and algorithm math), the TPU-native mode; learning
 quality matches fp32 within seed noise (3-seed study, README "Throughput").
-fp32 physics, the toy ``Pendulum``, and a recurrent GRU-256 workload are
+fp32 physics, the toy ``Pendulum``, and recurrent GRU-256 / LSTM-256
+workloads (fused Pallas BPTT replay, actor+critic replays stream-paired) are
 reported alongside.
 
 Measures aggregate env-steps/s of full PPO training iterations (collection +
@@ -51,13 +52,14 @@ def _build(env, recurrent: bool = False, dtype=None):
     _, obs = env.reset(jax.random.PRNGKey(0))
     obs_groups = {"policy": ["policy"], "critic": ["policy"]}
     if recurrent:
-        # GRU-256 hits the fused Pallas replay path (128-aligned hidden and
-        # 4096/4-minibatch batch); acting inside collect is per-step by nature
+        # GRU/LSTM-256 hits the fused Pallas replay path (128-aligned hidden
+        # and 4096/4-minibatch batch, actor+critic replays stream-paired);
+        # acting inside collect is per-step by nature
         policy = ActorCriticRecurrent(
             obs,
             obs_groups,
             env.num_actions,
-            rnn_type="gru",
+            rnn_type=recurrent if isinstance(recurrent, str) else "gru",
             rnn_hidden_dim=256,
             actor_hidden_dims=[256, 256],
             critic_hidden_dims=[256, 256],
@@ -216,20 +218,23 @@ def main() -> None:
             print(json.dumps(result), flush=True)
 
     def _bail():
-        _flush("watchdog: extra workloads exceeded 600s")
+        _flush("watchdog: extra workloads exceeded 780s")
         # distinct exit code: the headline was printed but the extras were
         # cut short — automation can detect the degraded run without parsing
         # the JSON (exit 0 is reserved for a fully clean run)
         os._exit(3)
 
-    watchdog = threading.Timer(600.0, _bail)
+    watchdog = threading.Timer(780.0, _bail)
     watchdog.daemon = True
     watchdog.start()
     try:
         physics = measure(NLinkPendulum(num_envs=NUM_ENVS, num_links=5))
         toy = measure(Pendulum(num_envs=NUM_ENVS))
         recurrent = measure(
-            NLinkPendulum(num_envs=NUM_ENVS, num_links=5), recurrent=True
+            NLinkPendulum(num_envs=NUM_ENVS, num_links=5), recurrent="gru"
+        )
+        recurrent_lstm = measure(
+            NLinkPendulum(num_envs=NUM_ENVS, num_links=5), recurrent="lstm"
         )
         small_k1 = measure_small_config(1)
         small_k20 = measure_small_config(20)
@@ -252,6 +257,12 @@ def main() -> None:
                     "recurrent_gru256_env_steps_per_s": round(recurrent["steps_per_s"], 1),
                     "recurrent_collect_s_per_iter": round(recurrent["collect_s"], 5),
                     "recurrent_learn_s_per_iter": round(recurrent["learn_s"], 5),
+                    "recurrent_lstm256_env_steps_per_s": round(
+                        recurrent_lstm["steps_per_s"], 1
+                    ),
+                    "recurrent_lstm_learn_s_per_iter": round(
+                        recurrent_lstm["learn_s"], 5
+                    ),
                     "config1_64env_steps_per_s_k1": round(small_k1, 1),
                     "config1_64env_steps_per_s_k20": round(small_k20, 1),
                 }
