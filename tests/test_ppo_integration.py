@@ -151,8 +151,9 @@ class TestDataParallelConsistency:
     # keep literal (pytest ids stay stable); the sync test below fails if
     # __graft_entry__.VARIANTS gains a variant this list doesn't cover
     VARIANT_LIST = [
-        "feedforward", "recurrent", "rnd", "symmetry_feedforward",
-        "symmetry_recurrent", "distillation", "distillation_recurrent",
+        "feedforward", "recurrent", "recurrent_lstm", "rnd",
+        "symmetry_feedforward", "symmetry_recurrent", "distillation",
+        "distillation_recurrent",
     ]
 
     def test_covers_every_guaranteed_variant(self):
