@@ -270,7 +270,8 @@ class TestRecurrentUpdateParity:
     Rollout, weights are copied across frameworks, and one full-batch update
     is compared."""
 
-    def test_recurrent_ppo_update_loss_dict_matches(self):
+    @pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
+    def test_recurrent_ppo_update_loss_dict_matches(self, rnn_type):
         from rsl_rl.modules import ActorCriticRecurrent as RefACR
 
         from rsl_rl_tpu.modules import ActorCriticRecurrent
@@ -286,7 +287,7 @@ class TestRecurrentUpdateParity:
             {"policy": jnp.zeros((N, D))},
             {"policy": ["policy"], "critic": ["policy"]},
             A,
-            rnn_type="gru",
+            rnn_type=rnn_type,
             rnn_hidden_dim=H,
             actor_hidden_dims=[32],
             critic_hidden_dims=[32],
@@ -300,7 +301,7 @@ class TestRecurrentUpdateParity:
             obs_td0,
             {"policy": ["policy"], "critic": ["policy"]},
             A,
-            rnn_type="gru",
+            rnn_type=rnn_type,
             rnn_hidden_dim=H,
             actor_hidden_dims=[32],
             critic_hidden_dims=[32],
@@ -313,19 +314,39 @@ class TestRecurrentUpdateParity:
             for mem_name, ref_mem in (("memory_a", ref_policy.memory_a),
                                       ("memory_c", ref_policy.memory_c)):
                 cell = ps.params[mem_name]["cell_0"]
-                w_ih = np.concatenate(
-                    [np.asarray(cell[k]["kernel"]).T for k in ("ir", "iz", "in")], axis=0
-                )
-                b_ih = np.concatenate(
-                    [np.asarray(cell[k]["bias"]) for k in ("ir", "iz", "in")]
-                )
-                w_hh = np.concatenate(
-                    [np.asarray(cell[k]["kernel"]).T for k in ("hr", "hz", "hn")], axis=0
-                )
-                b_hh = np.concatenate(
-                    [np.zeros(H, np.float32), np.zeros(H, np.float32),
-                     np.asarray(cell["hn"]["bias"])]
-                )
+                if rnn_type == "gru":
+                    # torch GRU gate order r|z|n; flax GRUCell has input-side
+                    # biases on all gates, hidden-side bias only on n
+                    w_ih = np.concatenate(
+                        [np.asarray(cell[k]["kernel"]).T for k in ("ir", "iz", "in")],
+                        axis=0,
+                    )
+                    b_ih = np.concatenate(
+                        [np.asarray(cell[k]["bias"]) for k in ("ir", "iz", "in")]
+                    )
+                    w_hh = np.concatenate(
+                        [np.asarray(cell[k]["kernel"]).T for k in ("hr", "hz", "hn")],
+                        axis=0,
+                    )
+                    b_hh = np.concatenate(
+                        [np.zeros(H, np.float32), np.zeros(H, np.float32),
+                         np.asarray(cell["hn"]["bias"])]
+                    )
+                else:
+                    # torch LSTM gate order i|f|g|o matches flax
+                    # OptimizedLSTMCell; flax has NO input-side bias
+                    w_ih = np.concatenate(
+                        [np.asarray(cell[f"i{k}"]["kernel"]).T for k in "ifgo"],
+                        axis=0,
+                    )
+                    b_ih = np.zeros(4 * H, np.float32)
+                    w_hh = np.concatenate(
+                        [np.asarray(cell[f"h{k}"]["kernel"]).T for k in "ifgo"],
+                        axis=0,
+                    )
+                    b_hh = np.concatenate(
+                        [np.asarray(cell[f"h{k}"]["bias"]) for k in "ifgo"]
+                    )
                 ref_mem.rnn.weight_ih_l0.copy_(torch.from_numpy(w_ih))
                 ref_mem.rnn.bias_ih_l0.copy_(torch.from_numpy(b_ih))
                 ref_mem.rnn.weight_hh_l0.copy_(torch.from_numpy(w_hh))
@@ -356,10 +377,23 @@ class TestRecurrentUpdateParity:
 
         # ---- mirror the stored rollout into our structures
         s = ref.storage
-        carry0 = {
-            "actor": (jnp.zeros((N, H), jnp.float32),),
-            "critic": (jnp.zeros((N, H), jnp.float32),),
-        }
+        if rnn_type == "gru":
+            zero_layer = (jnp.zeros((N, H), jnp.float32),)
+        else:
+            # flax LSTM carry is (c, h) per layer
+            zero_layer = (
+                (jnp.zeros((N, H), jnp.float32), jnp.zeros((N, H), jnp.float32)),
+            )
+        carry0 = {"actor": zero_layer, "critic": zero_layer}
+
+        def to_carry(hid):
+            """torch hidden -> our per-layer carry tuple (layer 0 only)."""
+            if rnn_type == "gru":
+                return (jnp.asarray(hid[0].detach().numpy()),)
+            h, c = hid  # torch LSTM hidden is (h_n, c_n); flax carry is (c, h)
+            return (
+                (jnp.asarray(c[0].detach().numpy()), jnp.asarray(h[0].detach().numpy())),
+            )
         rollout = Rollout(
             obs={"policy": jnp.asarray(obs_seq[:T])},
             actions=jnp.asarray(s.actions.numpy()),
@@ -375,8 +409,8 @@ class TestRecurrentUpdateParity:
             env_state=(),
             obs={"policy": jnp.asarray(obs_seq[T])},
             carry={
-                "actor": (jnp.asarray(post_hidden[0][0].detach().numpy()),),
-                "critic": (jnp.asarray(post_hidden[1][0].detach().numpy()),),
+                "actor": to_carry(post_hidden[0]),
+                "critic": to_carry(post_hidden[1]),
             },
             stats=init_episode_stats(N),
         )
