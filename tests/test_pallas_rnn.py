@@ -737,3 +737,67 @@ class TestPairGate:
 
     def test_wide_d_rejected(self):
         assert not pallas_rnn._x_stream_pair_ok(1024, 256, 3, 1024)
+
+
+class TestShortWindow:
+    """T=1 windows (the shortest truncated-BPTT tail segment the chunked
+    distillation replay can produce): the backward kernels' hs_prev index map
+    clamps to block 0 and the kernel substitutes carry0 at t==0 — verify
+    values AND grads at the boundary, single and paired cores."""
+
+    @pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
+    def test_t1_values_and_grads(self, rnn_type, monkeypatch):
+        from rsl_rl_tpu.networks.memory import paired_sequence
+
+        mem = Memory(hidden_size=H, rnn_type=rnn_type, num_layers=1)
+        carry0_zero = mem.initialize_carry(B)
+        params = mem.init(jax.random.PRNGKey(21), carry0_zero, jnp.zeros((B, D)))["params"]
+        params_b = mem.init(jax.random.PRNGKey(22), carry0_zero, jnp.zeros((B, D)))["params"]
+        rng = np.random.default_rng(23)
+        xs = jnp.asarray(rng.normal(size=(1, B, D)), jnp.float32)
+        xs_b = jnp.asarray(rng.normal(size=(1, B, D)), jnp.float32)
+        resets = jnp.zeros((1, B), bool)
+        if rnn_type == "gru":
+            carry0 = (jnp.asarray(rng.normal(size=(B, H)), jnp.float32),)
+        else:
+            carry0 = ((jnp.asarray(rng.normal(size=(B, H)), jnp.float32),
+                       jnp.asarray(rng.normal(size=(B, H)), jnp.float32)),)
+
+        def loss(fn):
+            def f(params, carry0, xs):
+                out = fn(params, carry0, xs)
+                return jnp.sum(out * jnp.cos(out))
+            return f
+
+        scan_fn = lambda p, c, x: _scan_path(mem, p, c, x, resets)
+        pallas_fn = lambda p, c, x: (
+            pallas_rnn.gru_sequence(p["cell_0"], c[0], x, resets)
+            if rnn_type == "gru"
+            else pallas_rnn.lstm_sequence(p["cell_0"], c[0], x, resets)
+        )
+
+        want_v = scan_fn(params, carry0, xs)
+        want_g = jax.grad(loss(scan_fn), argnums=(0, 1, 2))(params, carry0, xs)
+        with pltpu.force_tpu_interpret_mode():
+            got_v = pallas_fn(params, carry0, xs)
+            got_g = jax.grad(loss(pallas_fn), argnums=(0, 1, 2))(params, carry0, xs)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-5)
+        jax.tree_util.tree_map_with_path(
+            lambda p, w, g: np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5,
+                err_msg=f"T=1 grad mismatch at {jax.tree_util.keystr(p)}",
+            ),
+            want_g, got_g,
+        )
+
+        # paired at T=1
+        monkeypatch.setattr(pallas_rnn, "supports_pallas_rnn", lambda *a, **k: True)
+        with pltpu.force_tpu_interpret_mode():
+            pa, pb = paired_sequence(
+                mem, params, carry0, xs, mem, params_b, carry0, xs_b, resets
+            )
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(want_v), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(pb), np.asarray(scan_fn(params_b, carry0, xs_b)),
+            rtol=1e-5, atol=1e-5,
+        )
