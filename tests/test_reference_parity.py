@@ -582,3 +582,135 @@ class TestDistillationUpdateParity:
         our_k = np.asarray(ts_after.policy.params["student"]["dense_1"]["kernel"])
         ref_k = ref_policy.student[2].weight.detach().numpy().T
         np.testing.assert_allclose(our_k, ref_k, rtol=1e-3, atol=2e-6)
+
+
+class TestRecurrentDistillationUpdateParity:
+    """Recurrent truncated-BPTT distillation vs the reference: GRU student +
+    feedforward teacher, reference-generated rollout, copied weights, same
+    gradient_length segmentation (incl. a trailing partial segment) -> same
+    behavior loss and post-update student parameters. Closes the loop on the
+    segmented-scan replay's hidden detach/rewind semantics
+    (reference distillation.py:105-151: reset(hidden_states=last_hidden)
+    per epoch, detach at gradient steps, done-masked resets per step).
+
+    Two learning rates separate semantics from arithmetic: at lr~0 the
+    replayed losses must match to fp32 exactness (rtol 1e-6 — any reset /
+    rewind / segmentation off-by-one would show at the loss's own scale);
+    at lr=1e-3, Adam compounds torch-vs-flax GRU evaluation-order ulps
+    across 6 optimizer steps, so the tolerance is the recurrent-noise scale
+    the recurrent PPO parity test also uses (rtol 2e-3)."""
+
+    @pytest.mark.parametrize(
+        "lr, loss_rtol, param_atol",
+        [(1e-12, 1e-6, 1e-7), (1e-3, 2e-3, 1e-4)],
+        ids=["semantics-exact", "with-optimizer-compounding"],
+    )
+    def test_recurrent_distillation_update_matches(self, lr, loss_rtol, param_atol):
+        from rsl_rl.algorithms import Distillation as RefDistillation
+        from rsl_rl.modules import StudentTeacherRecurrent as RefSTR
+
+        from rsl_rl_tpu.algorithms.distillation import Distillation
+        from rsl_rl_tpu.modules import StudentTeacherRecurrent
+
+        H = 16
+        rng = np.random.default_rng(17)
+        obs_seq = rng.normal(size=(T + 1, N, D)).astype(np.float32)
+        dones_np = (rng.random((T, N)) < 0.1)
+
+        ours_policy = StudentTeacherRecurrent(
+            {"policy": jnp.zeros((N, D))},
+            {"policy": ["policy"], "teacher": ["policy"]},
+            A,
+            rnn_type="gru",
+            rnn_hidden_dim=H,
+            student_hidden_dims=[32],
+            teacher_hidden_dims=[32],
+        )
+        ps = ours_policy.init(jax.random.PRNGKey(31))
+        ours_policy.loaded_teacher = True
+
+        obs_td0 = TensorDictShim({"policy": torch.zeros(N, D)}, batch_size=[N])
+        ref_policy = RefSTR(
+            obs_td0,
+            {"policy": ["policy"], "teacher": ["policy"]},
+            A,
+            rnn_type="gru",
+            rnn_hidden_dim=H,
+            student_hidden_dims=[32],
+            teacher_hidden_dims=[32],
+        )
+        _copy_mlp_params(ps.params["student"], ref_policy.student)
+        _copy_mlp_params(ps.aux["teacher"], ref_policy.teacher)
+        with torch.no_grad():
+            ref_policy.std.copy_(torch.from_numpy(np.asarray(ps.params["std"])))
+            cell = ps.params["memory_s"]["cell_0"]
+            w_ih = np.concatenate(
+                [np.asarray(cell[k]["kernel"]).T for k in ("ir", "iz", "in")], axis=0
+            )
+            b_ih = np.concatenate(
+                [np.asarray(cell[k]["bias"]) for k in ("ir", "iz", "in")]
+            )
+            w_hh = np.concatenate(
+                [np.asarray(cell[k]["kernel"]).T for k in ("hr", "hz", "hn")], axis=0
+            )
+            b_hh = np.concatenate(
+                [np.zeros(H, np.float32), np.zeros(H, np.float32),
+                 np.asarray(cell["hn"]["bias"])]
+            )
+            mem = ref_policy.memory_s
+            mem.rnn.weight_ih_l0.copy_(torch.from_numpy(w_ih))
+            mem.rnn.bias_ih_l0.copy_(torch.from_numpy(b_ih))
+            mem.rnn.weight_hh_l0.copy_(torch.from_numpy(w_hh))
+            mem.rnn.bias_hh_l0.copy_(torch.from_numpy(b_hh))
+
+        G = 7  # 2 epochs x 24 steps = 6 full segments + 6-step tail
+        ref = RefDistillation(ref_policy, num_learning_epochs=2, gradient_length=G,
+                              learning_rate=lr)
+        ref.init_storage("distillation", N, T, obs_td0, [A])
+        obs = TensorDictShim({"policy": torch.from_numpy(obs_seq[0])}, batch_size=[N])
+        for t in range(T):
+            with torch.no_grad():
+                ref.act(obs)
+            next_obs = TensorDictShim(
+                {"policy": torch.from_numpy(obs_seq[t + 1])}, batch_size=[N]
+            )
+            ref.process_env_step(
+                next_obs,
+                torch.zeros(N),
+                torch.from_numpy(dones_np[t].astype(np.uint8)),
+                {},
+            )
+            obs = next_obs
+        s = ref.storage
+        ref_losses = ref.update()
+
+        ours = Distillation(ours_policy, num_learning_epochs=2, gradient_length=G,
+                            learning_rate=lr)
+        ts = ours.init_train_state(jax.random.PRNGKey(0), N).replace(policy=ps)
+        carry0 = ours_policy.initial_carry(N)  # zeros == ref's initial
+        # last_hidden_states=None (reference distillation.py:54,112)
+        rollout = Rollout(
+            obs={"policy": jnp.asarray(obs_seq[:T])},
+            actions=jnp.asarray(s.actions.numpy()),
+            rewards=jnp.zeros((T, N)),
+            dones=jnp.asarray(dones_np),
+            privileged_actions=jnp.asarray(s.privileged_actions.numpy()),
+            carry0=carry0,
+        )
+        cs = CollectState(
+            env_state=(), obs={"policy": jnp.asarray(obs_seq[T])},
+            carry=carry0, stats=init_episode_stats(N),
+        )
+        ts_after, _, um = jax.jit(ours.make_update_fn())(ts, cs, rollout)
+
+        assert np.isclose(
+            float(um["Loss/behavior"]), ref_losses["behavior"], rtol=loss_rtol
+        ), f"behavior: ours={float(um['Loss/behavior'])} ref={ref_losses['behavior']}"
+        our_k = np.asarray(ts_after.policy.params["student"]["dense_1"]["kernel"])
+        ref_k = ref_policy.student[2].weight.detach().numpy().T
+        np.testing.assert_allclose(our_k, ref_k, rtol=1e-3, atol=param_atol)
+        cell_k = np.asarray(
+            ts_after.policy.params["memory_s"]["cell_0"]["hn"]["kernel"]
+        )
+        ref_cell_k = ref_policy.memory_s.rnn.weight_hh_l0.detach().numpy()[2 * H:].T
+        np.testing.assert_allclose(cell_k, ref_cell_k, rtol=1e-3, atol=param_atol)
