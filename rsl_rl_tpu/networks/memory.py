@@ -214,9 +214,16 @@ def paired_sequence(
     # layer 0 consumes D, deeper layers consume H: every layer must pass the
     # paired gate for an all-paired stack
     dims = {xs_a.shape[-1]} | ({mem_a.hidden_size} if mem_a.num_layers > 1 else set())
-    pairable = twins and all(
-        pallas_rnn.supports_pallas_rnn_pair(B, mem_a.hidden_size, mem_a.rnn_type, d)
-        for d in dims
+    pairable = (
+        twins
+        and all(
+            pallas_rnn.supports_pallas_rnn_pair(B, mem_a.hidden_size, mem_a.rnn_type, d)
+            for d in dims
+        )
+        # vmapped callers (multiseed) take two independent fused calls: the
+        # paired cores' batching behavior is unverified on hardware, while
+        # the single cores' is TPU-proven (runners/multiseed.py docstring)
+        and not pallas_rnn.under_vmap()
     )
     if not pairable:
         return (

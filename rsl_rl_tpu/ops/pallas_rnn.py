@@ -95,6 +95,29 @@ def _vmem_footprint_bytes(batch: int, hidden: int, gates: int) -> int:
     return 4 * (carry_scratch + weight_blocks + streamed)
 
 
+def under_vmap() -> bool:
+    """True when tracing under a ``jax.vmap`` transform.
+
+    ``pl.pallas_call``'s batching rule (which prepends a batch grid
+    dimension) is TPU-verified for the xproj-streaming cores
+    (runners/multiseed.py: 2-seed GRU-128 train step on hardware), but the
+    x-streaming and stream-paired cores have not been exercised batched on
+    hardware, so vmapped callers dispatch to the xproj cores. Checking leaf
+    types is not enough — inside the PPO loss the arrays are grad-trace
+    tracers wrapping the batch trace — so walk the ambient trace stack for a
+    ``BatchTrace`` (type-name match keeps this robust across jax module
+    moves)."""
+    try:
+        trace = jax._src.core.trace_ctx.trace  # type: ignore[attr-defined]
+    except AttributeError:  # pragma: no cover - jax moved the API: be safe
+        return True
+    while trace is not None:
+        if type(trace).__name__ == "BatchTrace":
+            return True
+        trace = getattr(trace, "parent_trace", None)
+    return False
+
+
 def supports_pallas_rnn(batch: int, hidden: int, rnn_type: str = "lstm") -> bool:
     """Shape gate for the fused kernels (fall back to the scan otherwise).
 
@@ -640,10 +663,11 @@ def gru_sequence(
     bhn = bhn[None, :]
     H = wh.shape[0]
 
-    if _x_stream_ok(B, H, 3, D):
+    if _x_stream_ok(B, H, 3, D) and not under_vmap():
         # small input dim: stream raw inputs, project inside the kernel —
         # ~3H/D less HBM traffic, bit-identical forward values (see the
-        # x-streaming section above)
+        # x-streaming section above). Vmapped callers use the xproj core
+        # below (the TPU-verified-batched path; see under_vmap).
         return _gru_core_x(
             compute_dtype,
             wi,
@@ -1780,9 +1804,10 @@ def _lstm_call(cell_params, carry0, xs, resets, dt):
     c0, h0 = carry0
     rf = resets.astype(jnp.float32).reshape(T, 1, B)
 
-    if _x_stream_ok(B, H, 4, D):
+    if _x_stream_ok(B, H, 4, D) and not under_vmap():
         # small input dim: stream raw inputs, project in-kernel (see the
-        # x-streaming GRU section; bit-identical forward values)
+        # x-streaming GRU section; bit-identical forward values). Vmapped
+        # callers use the xproj core below (see under_vmap).
         return _lstm_core_x(
             dt,
             wi,

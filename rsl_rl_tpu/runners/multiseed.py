@@ -19,9 +19,12 @@ they are ordinary pytree leaves.
 Recurrent policies compose too: vmap of the fused Pallas BPTT kernels
 (``ops/pallas_rnn.py``, pallas_call + custom_vjp) batches over the seed
 axis — verified on real TPU hardware (2-seed GRU-128 PPO train step with
-the shape gate admitting the fused path; finite per-seed losses). CPU test
-runs always take the scan fallback, so this claim is TPU-verified, not
-CI-enforced.
+the shape gate admitting the fused path; finite per-seed losses). That
+verification covered the xproj-streaming cores, so vmapped callers dispatch
+to those: the newer x-streaming and stream-paired cores defer to them under
+vmap (``ops.pallas_rnn.under_vmap``) until batched hardware runs prove them
+too. CPU test runs always take the scan fallback, so this claim is
+TPU-verified, not CI-enforced.
 """
 
 from __future__ import annotations

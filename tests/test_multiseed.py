@@ -190,3 +190,73 @@ class TestMultiSeedRunner:
 
         with pytest.raises(ValueError, match="JAX-native"):
             MultiSeedRunner(ShardableHostEnv(num_envs=8), copy.deepcopy(self.CFG), 2)
+
+
+class TestMultiseedKernelDispatch:
+    def test_vmapped_replay_routes_to_xproj_cores(self, monkeypatch):
+        """Under vmap (the multiseed transform) the replay must dispatch to
+        the xproj-streaming cores — the batching behavior TPU-verified in
+        the round-2 multiseed hardware run — and must NOT pick the
+        x-streaming or stream-paired cores (unverified batched on hardware;
+        pallas interpret mode cannot even execute a batched grid). This
+        pins the dispatch DECISION; no kernel executes."""
+        import jax.numpy as jnp
+
+        from rsl_rl_tpu.ops import pallas_rnn
+
+        T_, B_, D_, H_ = 4, 128, 8, 128
+        picked = []
+
+        def fake_xproj(dt, wh, bhn, carry0, xproj, resets):
+            picked.append("xproj")
+            return jnp.zeros((T_, B_, H_), jnp.float32)
+
+        def fake_xstream(*a, **k):
+            raise AssertionError("x-stream core selected under vmap")
+
+        monkeypatch.setattr(pallas_rnn, "_gru_core", fake_xproj)
+        monkeypatch.setattr(pallas_rnn, "_gru_core_x", fake_xstream)
+
+        from rsl_rl_tpu.networks.memory import Memory
+
+        mem = Memory(hidden_size=H_, rnn_type="gru", num_layers=1)
+        params = mem.init(
+            jax.random.PRNGKey(0), mem.initialize_carry(B_), jnp.zeros((B_, D_))
+        )["params"]
+
+        def one(x):
+            return pallas_rnn.gru_sequence(
+                params["cell_0"], jnp.zeros((B_, H_)), x, jnp.zeros((T_, B_), bool)
+            )
+
+        out = jax.vmap(one)(jnp.zeros((3, T_, B_, D_)))
+        assert out.shape == (3, T_, B_, H_)
+        assert picked == ["xproj"]
+
+        # ...and WITHOUT vmap the same shape picks the x-stream core
+        picked.clear()
+        monkeypatch.setattr(
+            pallas_rnn, "_gru_core_x",
+            lambda *a, **k: (picked.append("xstream"), jnp.zeros((T_, B_, H_)))[1],
+        )
+        one(jnp.zeros((T_, B_, D_)))
+        assert picked == ["xstream"]
+
+    def test_under_vmap_detection(self):
+        from rsl_rl_tpu.ops import pallas_rnn
+
+        seen = {}
+
+        def inner(y):
+            seen["vmap_grad"] = pallas_rnn.under_vmap()
+            return (y * y).sum()
+
+        jax.jit(jax.vmap(jax.grad(inner)))(np.ones((2, 3), np.float32))
+        assert seen["vmap_grad"] is True
+
+        def plain(y):
+            seen["jit"] = pallas_rnn.under_vmap()
+            return y * 2
+
+        jax.jit(plain)(np.ones(3, np.float32))
+        assert seen["jit"] is False
