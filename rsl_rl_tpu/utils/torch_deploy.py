@@ -35,12 +35,19 @@ For the inverse direction (serving without Python), see
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["as_torch_policy", "export_onnx"]
+__all__ = [
+    "as_torch_policy",
+    "export_onnx",
+    "import_torch_state_dict",
+    "import_torch_checkpoint",
+]
 
 
 def _np(x) -> np.ndarray:
@@ -295,3 +302,204 @@ def export_onnx(policy, policy_state, path: str, *, batch_size: int = 1,
         module, args, path, input_names=names[0], output_names=names[1],
         dynamo=False, **export_kwargs,
     )
+
+
+# --------------------------------------------------------------------------
+# torch -> JAX: import reference checkpoints
+# --------------------------------------------------------------------------
+
+
+def _sd_array(v) -> np.ndarray:
+    """state-dict value (torch tensor or array-like) -> fp32 numpy."""
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.array(v, dtype=np.float32)
+
+
+def _import_mlp(sd: dict, prefix: str) -> dict:
+    """``<prefix>.<i>.weight/bias`` (torch ``nn.Sequential`` with interleaved
+    activations, reference networks/mlp.py:15-80) -> flax ``dense_k`` params."""
+    pat = re.compile(rf"^{re.escape(prefix)}\.(\d+)\.weight$")
+    idxs = sorted(int(m.group(1)) for k in sd if (m := pat.match(k)))
+    if not idxs:
+        raise KeyError(f"no '{prefix}.<i>.weight' entries in the state dict")
+    return {
+        f"dense_{i}": {
+            "kernel": jnp.asarray(_sd_array(sd[f"{prefix}.{n}.weight"]).T),
+            "bias": jnp.asarray(_sd_array(sd[f"{prefix}.{n}.bias"])),
+        }
+        for i, n in enumerate(idxs)
+    }
+
+
+def _import_norm(sd: dict, prefix: str, template):
+    """``EmpiricalNormalization`` buffers (``_mean``/``_var``/``count`` with a
+    leading singleton, reference normalization.py:31-34) -> RunningNormState."""
+    for key in ("_mean", "_var", "count"):
+        if f"{prefix}.{key}" not in sd:
+            raise KeyError(
+                f"checkpoint has no '{prefix}.{key}' — the reference model was"
+                " saved without this observation normalizer; disable the"
+                " corresponding *_obs_normalization flag to import it"
+            )
+    return template.replace(
+        mean=jnp.asarray(_sd_array(sd[f"{prefix}._mean"]).reshape(template.mean.shape)),
+        var=jnp.asarray(_sd_array(sd[f"{prefix}._var"]).reshape(template.var.shape)),
+        count=jnp.asarray(_sd_array(sd[f"{prefix}.count"]).reshape(())),
+    )
+
+
+def _import_memory(sd: dict, prefix: str, rnn_type: str, num_layers: int,
+                   hidden_size: int) -> dict:
+    """torch ``nn.GRU``/``nn.LSTM`` tensors (``<prefix>.weight_ih_l<k>`` ...,
+    reference networks/memory.py:24) -> flax cell params.
+
+    torch applies both ``bias_ih`` and ``bias_hh`` inside each gate, flax one
+    bias per gate — the two biases fold into one by addition (exact):
+    GRU r/z gates get ``b_ih + b_hh`` on the input dense (flax ``hr``/``hz``
+    carry no bias), the n gate keeps them split (both exist in flax); LSTM
+    folds everything onto the hidden dense (flax ``i*`` carry no bias).
+    """
+    H = hidden_size
+    is_gru = rnn_type.lower() == "gru"
+    out = {}
+    for layer in range(num_layers):
+        w_ih = _sd_array(sd[f"{prefix}.weight_ih_l{layer}"])
+        b_ih = _sd_array(sd[f"{prefix}.bias_ih_l{layer}"])
+        w_hh = _sd_array(sd[f"{prefix}.weight_hh_l{layer}"])
+        b_hh = _sd_array(sd[f"{prefix}.bias_hh_l{layer}"])
+
+        def g(m, i):  # gate slice i of a stacked matrix/vector
+            return m[i * H:(i + 1) * H]
+
+        if is_gru:  # torch gate order r, z, n
+            cell = {
+                "ir": {"kernel": g(w_ih, 0).T, "bias": g(b_ih, 0) + g(b_hh, 0)},
+                "iz": {"kernel": g(w_ih, 1).T, "bias": g(b_ih, 1) + g(b_hh, 1)},
+                "in": {"kernel": g(w_ih, 2).T, "bias": g(b_ih, 2)},
+                "hr": {"kernel": g(w_hh, 0).T},
+                "hz": {"kernel": g(w_hh, 1).T},
+                "hn": {"kernel": g(w_hh, 2).T, "bias": g(b_hh, 2)},
+            }
+        else:  # torch gate order i, f, g, o
+            cell = {}
+            for i, name in enumerate("ifgo"):
+                cell[f"i{name}"] = {"kernel": g(w_ih, i).T}
+                cell[f"h{name}"] = {
+                    "kernel": g(w_hh, i).T,
+                    "bias": g(b_ih, i) + g(b_hh, i),
+                }
+        out[f"cell_{layer}"] = jax.tree.map(jnp.asarray, cell)
+    return out
+
+
+def _import_std(policy, sd: dict):
+    if getattr(policy, "state_dependent_std", False):
+        return None
+    key = "std" if policy.noise_std_type == "scalar" else "log_std"
+    if key not in sd:
+        raise KeyError(
+            f"checkpoint has no '{key}' parameter — was the reference model"
+            f" built with noise_std_type='{policy.noise_std_type}'?"
+        )
+    return jnp.asarray(_sd_array(sd[key]))
+
+
+def import_torch_state_dict(policy, policy_state, state_dict: dict):
+    """Import a reference (torch rsl_rl) ``model_state_dict`` into a policy.
+
+    The inverse of :func:`as_torch_policy`: maps the reference's parameter/
+    buffer naming (``actor.0.weight``, ``memory_a.rnn.weight_ih_l0``,
+    ``actor_obs_normalizer._mean``, ``std``/``log_std`` — reference
+    modules/actor_critic.py:40-93, networks/memory.py:24,
+    networks/normalization.py:31-34) onto the rsl_rl_tpu pytree layout, with
+    the torch↔flax weight-layout transforms applied (transposed kernels,
+    gate-stacked RNN matrices split, paired RNN biases folded — exact, no
+    information loss). Supports ``ActorCritic``/``ActorCriticRecurrent``
+    (actor, critic, std, memories, normalizers) and ``StudentTeacher``/
+    ``StudentTeacherRecurrent`` (student, frozen teacher + their memories
+    and normalizers).
+
+    Args:
+        policy: The target policy module (architecture must match the
+            checkpoint; shape mismatches raise).
+        policy_state: Its current ``PolicyState`` (the template: untouched
+            fields keep their values).
+        state_dict: The reference's ``model_state_dict`` (torch tensors or
+            arrays).
+
+    Returns:
+        A new ``PolicyState`` carrying the imported weights.
+    """
+    from rsl_rl_tpu.modules.policy import check_state_compatible
+
+    sd = state_dict
+    ps = policy_state
+    is_student = hasattr(policy, "student")
+
+    if is_student:
+        params = dict(ps.params)
+        params["student"] = _import_mlp(sd, "student")
+        params["std"] = _import_std(policy, sd)
+        aux = dict(ps.aux)
+        aux["teacher"] = _import_mlp(sd, "teacher")
+        if policy.is_recurrent:
+            params["memory_s"] = _import_memory(
+                sd, "memory_s.rnn", policy.rnn_type, policy.rnn_num_layers,
+                policy.rnn_hidden_dim,
+            )
+            if policy.teacher_recurrent:
+                aux["memory_t"] = _import_memory(
+                    sd, "memory_t.rnn", policy.rnn_type, policy.rnn_num_layers,
+                    policy.rnn_hidden_dim,
+                )
+        norm = dict(ps.norm)
+        if norm["student"] is not None:
+            norm["student"] = _import_norm(sd, "student_obs_normalizer", norm["student"])
+        if aux.get("teacher_norm") is not None:
+            aux["teacher_norm"] = _import_norm(sd, "teacher_obs_normalizer", aux["teacher_norm"])
+        new_ps = ps.replace(params=params, norm=norm, aux=aux)
+    else:
+        params = dict(ps.params)
+        params["actor"] = _import_mlp(sd, "actor")
+        params["critic"] = _import_mlp(sd, "critic")
+        params["std"] = _import_std(policy, sd)
+        if policy.is_recurrent:
+            params["memory_a"] = _import_memory(
+                sd, "memory_a.rnn", policy.rnn_type, policy.rnn_num_layers,
+                policy.rnn_hidden_dim,
+            )
+            params["memory_c"] = _import_memory(
+                sd, "memory_c.rnn", policy.rnn_type, policy.rnn_num_layers,
+                policy.rnn_hidden_dim,
+            )
+        norm = dict(ps.norm)
+        if norm["actor"] is not None:
+            norm["actor"] = _import_norm(sd, "actor_obs_normalizer", norm["actor"])
+        if norm["critic"] is not None:
+            norm["critic"] = _import_norm(sd, "critic_obs_normalizer", norm["critic"])
+        new_ps = ps.replace(params=params, norm=norm)
+
+    # strict shape/structure validation against the configured architecture
+    check_state_compatible(ps, new_ps)
+    return new_ps
+
+
+def import_torch_checkpoint(policy, policy_state, path: str):
+    """Load a reference ``.pt`` checkpoint file and import its model weights.
+
+    Reads the reference ``OnPolicyRunner.save`` layout
+    (``{"model_state_dict", "optimizer_state_dict", "iter", ...}``, reference
+    on_policy_runner.py:289-305) with ``torch.load(weights_only=True)`` — a
+    tensor-only safe load, no pickled code execution — and returns
+    ``(new_policy_state, saved_iteration)``. The torch optimizer state is NOT
+    imported (optax moments are structured differently; resuming resets the
+    optimizer, which the reference's own cross-framework users accept when
+    migrating).
+    """
+    import torch
+
+    loaded = torch.load(path, map_location="cpu", weights_only=True)
+    sd = loaded.get("model_state_dict", loaded)
+    it = int(loaded.get("iter", 0)) if isinstance(loaded, dict) else 0
+    return import_torch_state_dict(policy, policy_state, sd), it
