@@ -47,6 +47,7 @@ __all__ = [
     "export_onnx",
     "import_torch_state_dict",
     "import_torch_checkpoint",
+    "export_torch_state_dict",
 ]
 
 
@@ -503,3 +504,107 @@ def import_torch_checkpoint(policy, policy_state, path: str):
     sd = loaded.get("model_state_dict", loaded)
     it = int(loaded.get("iter", 0)) if isinstance(loaded, dict) else 0
     return import_torch_state_dict(policy, policy_state, sd), it
+
+
+def export_torch_state_dict(policy, policy_state) -> dict:
+    """Export a reference-compatible torch ``state_dict`` of the FULL policy.
+
+    The exact inverse of :func:`import_torch_state_dict`: produces the
+    parameter/buffer dict the reference's modules load with strict
+    ``load_state_dict`` — actor AND critic (or student AND teacher),
+    memories, noise std, and normalizer buffers under the reference's names
+    (``actor.<2i>.weight`` — linears sit at even indices of the reference's
+    ``nn.Sequential`` MLP, reference networks/mlp.py:59-80;
+    ``memory_a.rnn.weight_ih_l<k>``; ``actor_obs_normalizer._mean`` with the
+    leading singleton and a long ``count``, reference normalization.py:31-34).
+    Use it to hand a TPU-trained model back to a torch rsl_rl setup (e.g. to
+    keep using reference-based evaluation or export tooling end to end):
+
+        ref_model.load_state_dict(export_torch_state_dict(policy, ts.policy))
+
+    Round-trip ``import_torch_state_dict(export_torch_state_dict(...))`` is
+    the identity (strict-load tested against real upstream modules in
+    tests/test_torch_import.py).
+    """
+    import torch
+
+    sd: dict = {}
+
+    def put_mlp(prefix: str, params: dict) -> None:
+        names = sorted(params.keys(), key=lambda s: int(s.split("_")[1]))
+        for i, name in enumerate(names):
+            sd[f"{prefix}.{2 * i}.weight"] = torch.from_numpy(
+                _np(params[name]["kernel"]).T.copy()
+            )
+            sd[f"{prefix}.{2 * i}.bias"] = torch.from_numpy(_np(params[name]["bias"]))
+
+    def put_norm(prefix: str, norm_state) -> None:
+        sd[f"{prefix}._mean"] = torch.from_numpy(_np(norm_state.mean)[None])
+        sd[f"{prefix}._var"] = torch.from_numpy(_np(norm_state.var)[None])
+        sd[f"{prefix}._std"] = torch.from_numpy(np.sqrt(_np(norm_state.var))[None])
+        sd[f"{prefix}.count"] = torch.tensor(
+            int(np.asarray(jax.device_get(norm_state.count))), dtype=torch.long
+        )
+
+    def put_memory(prefix: str, mem_params: dict, rnn_type: str, H: int) -> None:
+        is_gru = rnn_type.lower() == "gru"
+        for layer in range(len(mem_params)):
+            p = mem_params[f"cell_{layer}"]
+
+            def k(name):
+                return torch.from_numpy(_np(p[name]["kernel"]).T.copy())
+
+            def b(name):
+                return torch.from_numpy(_np(p[name]["bias"]))
+
+            zero = torch.zeros(H)
+            if is_gru:
+                w_ih = torch.cat([k("ir"), k("iz"), k("in")])
+                b_ih = torch.cat([b("ir"), b("iz"), b("in")])
+                w_hh = torch.cat([k("hr"), k("hz"), k("hn")])
+                b_hh = torch.cat([zero, zero, b("hn")])
+            else:
+                w_ih = torch.cat([k("ii"), k("if"), k("ig"), k("io")])
+                b_ih = torch.cat([zero, zero, zero, zero])
+                w_hh = torch.cat([k("hi"), k("hf"), k("hg"), k("ho")])
+                b_hh = torch.cat([b("hi"), b("hf"), b("hg"), b("ho")])
+            sd[f"{prefix}.weight_ih_l{layer}"] = w_ih
+            sd[f"{prefix}.bias_ih_l{layer}"] = b_ih
+            sd[f"{prefix}.weight_hh_l{layer}"] = w_hh
+            sd[f"{prefix}.bias_hh_l{layer}"] = b_hh
+
+    def put_std(params: dict) -> None:
+        if getattr(policy, "state_dependent_std", False):
+            return
+        key = "std" if policy.noise_std_type == "scalar" else "log_std"
+        sd[key] = torch.from_numpy(_np(params["std"]))
+
+    ps = policy_state
+    if hasattr(policy, "student"):
+        put_mlp("student", ps.params["student"])
+        put_mlp("teacher", ps.aux["teacher"])
+        put_std(ps.params)
+        if policy.is_recurrent:
+            put_memory("memory_s.rnn", ps.params["memory_s"], policy.rnn_type,
+                       policy.rnn_hidden_dim)
+            if getattr(policy, "teacher_recurrent", False):
+                put_memory("memory_t.rnn", ps.aux["memory_t"], policy.rnn_type,
+                           policy.rnn_hidden_dim)
+        if ps.norm.get("student") is not None:
+            put_norm("student_obs_normalizer", ps.norm["student"])
+        if ps.aux.get("teacher_norm") is not None:
+            put_norm("teacher_obs_normalizer", ps.aux["teacher_norm"])
+    else:
+        put_mlp("actor", ps.params["actor"])
+        put_mlp("critic", ps.params["critic"])
+        put_std(ps.params)
+        if policy.is_recurrent:
+            put_memory("memory_a.rnn", ps.params["memory_a"], policy.rnn_type,
+                       policy.rnn_hidden_dim)
+            put_memory("memory_c.rnn", ps.params["memory_c"], policy.rnn_type,
+                       policy.rnn_hidden_dim)
+        if ps.norm.get("actor") is not None:
+            put_norm("actor_obs_normalizer", ps.norm["actor"])
+        if ps.norm.get("critic") is not None:
+            put_norm("critic_obs_normalizer", ps.norm["critic"])
+    return sd

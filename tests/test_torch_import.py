@@ -205,3 +205,112 @@ class TestCheckpointFile:
             want = ref.act_inference(_td(obs)).numpy()
         got, _ = policy.act_inference(ps, _jx(obs), ())
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+class TestExportToReference:
+    """export_torch_state_dict: TPU-trained models strict-load into the real
+    upstream modules and reproduce our deterministic actions there."""
+
+    def _warm(self, policy, ps, seed):
+        return policy.update_normalization(
+            ps, {"policy": jax.numpy.asarray(_obs_np(seed, batch=64))}
+        )
+
+    def test_feedforward_strict_load(self):
+        from rsl_rl_tpu.utils.torch_deploy import export_torch_state_dict
+
+        policy = ActorCritic(
+            _jx(np.zeros((N, D), np.float32)), GROUPS, A,
+            actor_hidden_dims=[16, 8], critic_hidden_dims=[16],
+            actor_obs_normalization=True, critic_obs_normalization=True,
+        )
+        ps = self._warm(policy, policy.init(jax.random.PRNGKey(3)), 20)
+        sd = export_torch_state_dict(policy, ps)
+
+        torch.manual_seed(0)
+        ref = RefActorCritic(
+            _td(np.zeros((N, D), np.float32)), GROUPS, A,
+            actor_hidden_dims=[16, 8], critic_hidden_dims=[16],
+            actor_obs_normalization=True, critic_obs_normalization=True,
+        )
+        torch.nn.Module.load_state_dict(ref, sd, strict=True)
+
+        obs = _obs_np(21)
+        want, _ = policy.act_inference(ps, _jx(obs), ())
+        with torch.no_grad():
+            got = ref.act_inference(_td(obs)).numpy()
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+        want_v, _ = policy.value(ps, _jx(obs), ())
+        with torch.no_grad():
+            got_v = ref.evaluate(_td(obs)).numpy().squeeze(-1)
+        np.testing.assert_allclose(got_v, np.asarray(want_v), atol=1e-5)
+
+    @pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
+    def test_recurrent_strict_load(self, rnn_type):
+        from rsl_rl_tpu.utils.torch_deploy import export_torch_state_dict
+
+        kw = dict(
+            actor_hidden_dims=[16], critic_hidden_dims=[16],
+            rnn_type=rnn_type, rnn_hidden_dim=10, rnn_num_layers=2,
+        )
+        policy = ActorCriticRecurrent(_jx(np.zeros((N, D), np.float32)), GROUPS, A, **kw)
+        ps = policy.init(jax.random.PRNGKey(4))
+        sd = export_torch_state_dict(policy, ps)
+
+        torch.manual_seed(0)
+        ref = RefActorCriticRecurrent(_td(np.zeros((N, D), np.float32)), GROUPS, A, **kw)
+        torch.nn.Module.load_state_dict(ref, sd, strict=True)
+
+        carry = policy.initial_carry(N)
+        for t in range(3):
+            obs = _obs_np(30 + t)
+            want, carry = policy.act_inference(ps, _jx(obs), carry)
+            with torch.no_grad():
+                got = ref.act_inference(_td(obs)).numpy()
+            np.testing.assert_allclose(
+                got, np.asarray(want), atol=1e-5, err_msg=f"step {t}"
+            )
+
+    def test_roundtrip_is_identity(self):
+        from rsl_rl_tpu.utils.torch_deploy import export_torch_state_dict
+
+        policy = ActorCriticRecurrent(
+            _jx(np.zeros((N, D), np.float32)), GROUPS, A,
+            actor_hidden_dims=[16], critic_hidden_dims=[16],
+            rnn_type="gru", rnn_hidden_dim=10,
+            actor_obs_normalization=True,
+        )
+        ps = policy.update_normalization(
+            policy.init(jax.random.PRNGKey(5)),
+            {"policy": jax.numpy.asarray(_obs_np(40, batch=32))},
+        )
+        ps2 = import_torch_state_dict(policy, ps, export_torch_state_dict(policy, ps))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            jax.device_get(ps), jax.device_get(ps2),
+        )
+
+    def test_student_teacher_strict_load(self):
+        from rsl_rl_tpu.utils.torch_deploy import export_torch_state_dict
+
+        st_groups = {"policy": ["policy"], "teacher": ["policy"]}
+        kw = dict(student_hidden_dims=[16], teacher_hidden_dims=[12, 8])
+        policy = StudentTeacher(
+            _jx(np.zeros((N, D), np.float32)), st_groups, A,
+            student_obs_normalization=True, **kw,
+        )
+        ps = self._warm(policy, policy.init(jax.random.PRNGKey(6)), 50)
+        sd = export_torch_state_dict(policy, ps)
+
+        torch.manual_seed(0)
+        ref = RefStudentTeacher(
+            _td(np.zeros((N, D), np.float32)), st_groups, A,
+            student_obs_normalization=True, **kw,
+        )
+        torch.nn.Module.load_state_dict(ref, sd, strict=True)
+
+        obs = _obs_np(51)
+        want, _ = policy.act_inference(ps, _jx(obs), ())
+        with torch.no_grad():
+            got = ref.act_inference(_td(obs)).numpy()
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
