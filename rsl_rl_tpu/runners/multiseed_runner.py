@@ -11,6 +11,10 @@ No reference equivalent: the reference runs seed studies as N separate torch
 processes (one per GPU); here the functional core makes N seeds a single
 batched XLA program on one chip — the flagship "what the pytree/pure-function
 design buys" capability.
+
+Pass ``pbt={...}`` to turn the study into population-based training
+(``runners/pbt.py``): same logging/checkpointing, plus the in-program
+exploit/explore exchange and ``PBT/*`` scalars.
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rsl_rl_tpu.runners.multiseed import make_multiseed_train
+from rsl_rl_tpu.runners.pbt import make_pbt_train
 from rsl_rl_tpu.utils.checkpoint import load_checkpoint, restore_typed, save_checkpoint
 from rsl_rl_tpu.utils.registry import resolve
 from rsl_rl_tpu.utils.resolvers import resolve_obs_groups
@@ -39,7 +44,8 @@ class MultiSeedRunner:
     a host env cannot be vmapped.
     """
 
-    def __init__(self, env, train_cfg: dict, num_seeds: int, log_dir: str | None = None):
+    def __init__(self, env, train_cfg: dict, num_seeds: int,
+                 log_dir: str | None = None, pbt: dict | None = None):
         if not getattr(env, "is_jax", True):
             raise ValueError(
                 "MultiSeedRunner requires a JAX-native env: host envs step on"
@@ -66,10 +72,19 @@ class MultiSeedRunner:
         alg_class = resolve("algorithm", self.alg_cfg.pop("class_name"))
         self.alg = alg_class(policy, **self.alg_cfg)
 
-        init, self._train_step = make_multiseed_train(
-            self.alg, env, self.num_steps_per_env, self.num_seeds
-        )
-        self.train_state, self.collect_state = init(key_init)
+        self.pbt_cfg = dict(pbt) if pbt is not None else None
+        self.pbt_state = None
+        if self.pbt_cfg is not None:
+            init, self._train_step = make_pbt_train(
+                self.alg, env, self.num_steps_per_env, self.num_seeds,
+                **self.pbt_cfg,
+            )
+            self.train_state, self.collect_state, self.pbt_state = init(key_init)
+        else:
+            init, self._train_step = make_multiseed_train(
+                self.alg, env, self.num_steps_per_env, self.num_seeds
+            )
+            self.train_state, self.collect_state = init(key_init)
 
         self.writer = None
         self.logger_type = self.cfg.get("logger", "tensorboard")
@@ -89,7 +104,12 @@ class MultiSeedRunner:
         tot_iter = start_iter + num_learning_iterations
         for it in range(start_iter, tot_iter):
             start = time.time()
-            ts, cs, m = self._train_step(self.train_state, self.collect_state)
+            if self.pbt_state is not None:
+                ts, cs, self.pbt_state, m = self._train_step(
+                    self.train_state, self.collect_state, self.pbt_state
+                )
+            else:
+                ts, cs, m = self._train_step(self.train_state, self.collect_state)
             m = jax.device_get(m)  # [S]-leading metrics; the transfer is the fence
             iteration_time = time.time() - start
             self.train_state, self.collect_state = ts, cs
@@ -159,6 +179,14 @@ class MultiSeedRunner:
             "Policy/mean_noise_std", float(np.asarray(m["Policy/mean_noise_std"]).mean()), it
         )
         self.writer.add_scalar("Perf/total_fps", fps, it)
+        if "PBT/fitness" in m:
+            fit = np.asarray(m["PBT/fitness"])
+            lr = np.asarray(m["PBT/lr"])
+            self.writer.add_scalar("PBT/fitness_best", float(fit.max()), it)
+            self.writer.add_scalar("PBT/fitness_median", float(np.median(fit)), it)
+            self.writer.add_scalar("PBT/lr_min", float(lr.min()), it)
+            self.writer.add_scalar("PBT/lr_max", float(lr.max()), it)
+            self.writer.add_scalar("PBT/exploits", float(m["PBT/exploits"]), it)
         if ep_count > 0:
             self.writer.add_scalar("Train/mean_reward", float(rew.mean()), it)
             self.writer.add_scalar("Train/mean_reward_std", float(rew.std()), it)
@@ -187,6 +215,8 @@ class MultiSeedRunner:
         if ts.rnd is not None:
             state["rnd"] = ts.rnd
             state["rnd_opt_state"] = ts.rnd_opt_state
+        if self.pbt_state is not None:
+            state["pbt"] = self.pbt_state
         save_checkpoint(path, state)
 
     def load(self, path: str):
@@ -198,6 +228,13 @@ class MultiSeedRunner:
                 f"Checkpoint {path!r} holds {loaded.get('num_seeds')} seeds;"
                 f" this runner is configured for {self.num_seeds}."
             )
+        if ("pbt" in loaded) != (self.pbt_state is not None):
+            raise ValueError(
+                f"Checkpoint {path!r} and this runner disagree on PBT mode"
+                f" (checkpoint {'has' if 'pbt' in loaded else 'lacks'} PBT"
+                " state); construct the runner with the matching `pbt=`"
+                " argument."
+            )
         loaded = restore_typed(
             loaded,
             {
@@ -206,6 +243,7 @@ class MultiSeedRunner:
                 "lr": ts.lr,
                 "rnd": ts.rnd,
                 "rnd_opt_state": ts.rnd_opt_state,
+                "pbt": self.pbt_state,
             },
         )
         ts = ts.replace(
@@ -214,6 +252,8 @@ class MultiSeedRunner:
         )
         if ts.rnd is not None:
             ts = ts.replace(rnd=loaded["rnd"], rnd_opt_state=loaded["rnd_opt_state"])
+        if self.pbt_state is not None:
+            self.pbt_state = loaded["pbt"]
         self.current_learning_iteration = int(loaded["iter"])
         ts = ts.replace(it=jnp.full_like(ts.it, loaded["iter"]))
         self.train_state = ts

@@ -106,3 +106,76 @@ class TestPBT:
             ts, cs, pbt, metrics = train_step(ts, cs, pbt)
         assert int(metrics["PBT/exploits"]) >= 1
         assert np.all(np.isfinite(np.asarray(metrics["Loss/value_function"])))
+
+
+class TestPBTRunner:
+    """MultiSeedRunner(pbt=...): the productized study — logging, stacked
+    checkpoints carrying the PBT bookkeeping, mode-mismatch guards."""
+
+    CFG = {
+        "num_steps_per_env": 8,
+        "save_interval": 2,
+        "seed": 3,
+        "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+        "logger": "tensorboard",
+        "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                   "critic_hidden_dims": [16]},
+        "algorithm": {"class_name": "PPO", "schedule": "adaptive",
+                      "desired_kl": 0.01, "num_learning_epochs": 2,
+                      "num_mini_batches": 2},
+    }
+    PBT = {"exploit_interval": 1, "exploit_fraction": 0.25}
+
+    def _runner(self, log_dir=None, pbt=True):
+        import copy
+
+        from rsl_rl_tpu.env import Pendulum
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        env = Pendulum(num_envs=8, max_episode_length=8)
+        return MultiSeedRunner(
+            env, copy.deepcopy(self.CFG), num_seeds=4, log_dir=log_dir,
+            pbt=dict(self.PBT) if pbt else None,
+        )
+
+    def test_learn_logs_pbt_scalars(self, tmp_path):
+        import os
+
+        runner = self._runner(str(tmp_path))
+        runner.learn(3)
+        assert int(runner.pbt_state.exploits) >= 1
+        files = os.listdir(str(tmp_path))
+        assert any(f.startswith("events.out.tfevents") for f in files)
+        assert any(f.startswith("model_") for f in files)
+
+    def test_resume_restores_pbt_state(self, tmp_path):
+        import os
+
+        runner = self._runner(str(tmp_path))
+        runner.learn(3)
+        path = os.path.join(str(tmp_path), "snap.ckpt")
+        runner.save(path)
+
+        runner2 = self._runner()
+        runner2.load(path)
+        np.testing.assert_array_equal(
+            np.asarray(runner.pbt_state.fitness), np.asarray(runner2.pbt_state.fitness)
+        )
+        assert int(runner2.pbt_state.exploits) == int(runner.pbt_state.exploits)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            jax.device_get(runner.train_state.policy.params),
+            jax.device_get(runner2.train_state.policy.params),
+        )
+        runner2.learn(1)  # and it keeps training
+
+    def test_mode_mismatch_rejected(self, tmp_path):
+        import os
+
+        runner = self._runner(str(tmp_path))
+        runner.learn(1)
+        path = os.path.join(str(tmp_path), "snap.ckpt")
+        runner.save(path)
+        plain = self._runner(pbt=False)
+        with pytest.raises(ValueError, match="PBT"):
+            plain.load(path)
