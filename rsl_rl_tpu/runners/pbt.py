@@ -63,14 +63,21 @@ def make_pbt_train(
     Args:
         exploit_interval: iterations between exploit/explore steps.
         exploit_fraction: fraction of the population replaced (and the size
-            of the top pool copied from), truncation selection. A fraction
-            that rounds to zero seeds disables the exchange.
+            of the top pool copied from), truncation selection; must be in
+            ``[0, 0.5]`` so the bottom and top pools cannot overlap. A
+            fraction that rounds to zero seeds disables the exchange.
         lr_perturb: ``(lo, hi)`` log-uniform factor applied to the copied
             learning rate.
         fitness_smoothing: EMA coefficient for the per-iteration mean
             completed-episode reward (iterations with no finished episode
             leave a seed's fitness unchanged).
     """
+    if not 0.0 <= exploit_fraction <= 0.5:
+        # above 0.5 the bottom and top pools overlap: replaced losers would
+        # serve as clone sources, silently degenerating truncation selection
+        raise ValueError(
+            f"exploit_fraction must be in [0, 0.5], got {exploit_fraction}"
+        )
     collect = alg.make_collect_fn(env, num_steps_per_env)
     update = alg.make_update_fn()
     k_exchange = int(math.floor(num_seeds * exploit_fraction))

@@ -79,6 +79,46 @@ def _torch_activation(name: str):
     return table[name.lower()]
 
 
+def _mlp_linears(params: dict) -> list[tuple[np.ndarray, np.ndarray]]:
+    """flax MLP params -> ordered ``[(kernel [in,out], bias)]`` fp32 list
+    (single source of the dense_<i> ordering for export AND the module
+    mirror)."""
+    names = sorted(params.keys(), key=lambda s: int(s.split("_")[1]))
+    return [(_np(params[n]["kernel"]), _np(params[n]["bias"])) for n in names]
+
+
+def _cell_to_torch_gates(p: dict, rnn_type: str, hidden_size: int):
+    """One flax GRU/LSTM cell's params -> torch-layout gate stacks
+    ``(w_ih [G*H, D], b_ih, w_hh [G*H, H], b_hh)`` as numpy.
+
+    The single source of the gate order and bias placement for BOTH
+    directions of the bridge (module mirror and state-dict export; the
+    importer applies the exact inverse). torch gate order: (r, z, n) for
+    GRU, (i, f, g, o) for LSTM; flax GRU carries no bias on hr/hz (-> zero
+    b_hh rows), flax LSTM none on i* (-> zero b_ih).
+    """
+    H = hidden_size
+
+    def k(name):
+        return _np(p[name]["kernel"]).T
+
+    def b(name):
+        return _np(p[name]["bias"])
+
+    zero = np.zeros(H, np.float32)
+    if rnn_type.lower() == "gru":
+        w_ih = np.concatenate([k("ir"), k("iz"), k("in")])
+        b_ih = np.concatenate([b("ir"), b("iz"), b("in")])
+        w_hh = np.concatenate([k("hr"), k("hz"), k("hn")])
+        b_hh = np.concatenate([zero, zero, b("hn")])
+    else:
+        w_ih = np.concatenate([k("ii"), k("if"), k("ig"), k("io")])
+        b_ih = np.concatenate([zero, zero, zero, zero])
+        w_hh = np.concatenate([k("hi"), k("hf"), k("hg"), k("ho")])
+        b_hh = np.concatenate([b("hi"), b("hf"), b("hg"), b("ho")])
+    return w_ih, b_ih, w_hh, b_hh
+
+
 def _mlp_to_torch(mlp, params: dict, trim_output_to: int | None = None):
     """flax ``networks.mlp.MLP`` params → ``nn.Sequential`` (fp32).
 
@@ -90,12 +130,10 @@ def _mlp_to_torch(mlp, params: dict, trim_output_to: int | None = None):
     import torch
     import torch.nn as nn
 
-    names = sorted(params.keys(), key=lambda s: int(s.split("_")[1]))
+    linears = _mlp_linears(params)
     layers: list[nn.Module] = []
-    for i, name in enumerate(names):
-        kernel = _np(params[name]["kernel"])  # [in, out]
-        bias = _np(params[name]["bias"])
-        if i == len(names) - 1 and trim_output_to is not None:
+    for i, (kernel, bias) in enumerate(linears):
+        if i == len(linears) - 1 and trim_output_to is not None:
             kernel = kernel[:, :trim_output_to]
             bias = bias[:trim_output_to]
         lin = nn.Linear(kernel.shape[0], kernel.shape[1])
@@ -103,7 +141,7 @@ def _mlp_to_torch(mlp, params: dict, trim_output_to: int | None = None):
             lin.weight.copy_(torch.from_numpy(kernel.T.copy()))
             lin.bias.copy_(torch.from_numpy(bias))
         layers.append(lin)
-        if i < len(names) - 1:
+        if i < len(linears) - 1:
             layers.append(_torch_activation(mlp.activation))
     if mlp.last_activation is not None:
         layers.append(_torch_activation(mlp.last_activation))
@@ -145,32 +183,15 @@ def _memory_to_torch(input_size: int, hidden_size: int, num_layers: int,
     rnn = (nn.GRU if is_gru else nn.LSTM)(
         input_size=input_size, hidden_size=hidden_size, num_layers=num_layers
     )
-    H = hidden_size
     with torch.no_grad():
         for layer in range(num_layers):
-            p = mem_params[f"cell_{layer}"]
-
-            def k(name):  # flax kernel [in, out] -> torch rows [out, in]
-                return torch.from_numpy(_np(p[name]["kernel"]).T.copy())
-
-            def b(name):
-                return torch.from_numpy(_np(p[name]["bias"]))
-
-            zero = torch.zeros(H)
-            if is_gru:  # torch gate order: r, z, n
-                w_ih = torch.cat([k("ir"), k("iz"), k("in")])
-                b_ih = torch.cat([b("ir"), b("iz"), b("in")])
-                w_hh = torch.cat([k("hr"), k("hz"), k("hn")])
-                b_hh = torch.cat([zero, zero, b("hn")])
-            else:  # torch gate order: i, f, g, o
-                w_ih = torch.cat([k("ii"), k("if"), k("ig"), k("io")])
-                b_ih = torch.cat([zero, zero, zero, zero])
-                w_hh = torch.cat([k("hi"), k("hf"), k("hg"), k("ho")])
-                b_hh = torch.cat([b("hi"), b("hf"), b("hg"), b("ho")])
-            getattr(rnn, f"weight_ih_l{layer}").copy_(w_ih)
-            getattr(rnn, f"bias_ih_l{layer}").copy_(b_ih)
-            getattr(rnn, f"weight_hh_l{layer}").copy_(w_hh)
-            getattr(rnn, f"bias_hh_l{layer}").copy_(b_hh)
+            w_ih, b_ih, w_hh, b_hh = _cell_to_torch_gates(
+                mem_params[f"cell_{layer}"], rnn_type, hidden_size
+            )
+            getattr(rnn, f"weight_ih_l{layer}").copy_(torch.from_numpy(w_ih))
+            getattr(rnn, f"bias_ih_l{layer}").copy_(torch.from_numpy(b_ih))
+            getattr(rnn, f"weight_hh_l{layer}").copy_(torch.from_numpy(w_hh))
+            getattr(rnn, f"bias_hh_l{layer}").copy_(torch.from_numpy(b_hh))
     return rnn
 
 
@@ -285,24 +306,25 @@ def export_onnx(policy, policy_state, path: str, *, batch_size: int = 1,
     )
     obs = torch.zeros(batch_size, obs_dim)
 
+    def _export(args, in_names, out_names):
+        # torch >= 2.5 needs dynamo=False to pin the torchscript exporter;
+        # older torch (which defaults to it) rejects the kwarg
+        kw = dict(input_names=in_names, output_names=out_names, **export_kwargs)
+        try:
+            torch.onnx.export(module, args, path, dynamo=False, **kw)
+        except TypeError:
+            torch.onnx.export(module, args, path, **kw)
+
     if not policy.is_recurrent:
-        torch.onnx.export(
-            module, (obs,), path, input_names=["obs"], output_names=["action"],
-            dynamo=False, **export_kwargs,
-        )
+        _export((obs,), ["obs"], ["action"])
         return
 
     h = torch.zeros(policy.rnn_num_layers, batch_size, policy.rnn_hidden_dim)
     if module.is_lstm:
-        args = (obs, (h, h.clone()))
-        names = (["obs", "h_in", "c_in"], ["action", "h_out", "c_out"])
+        _export((obs, (h, h.clone())), ["obs", "h_in", "c_in"],
+                ["action", "h_out", "c_out"])
     else:
-        args = (obs, h)
-        names = (["obs", "h_in"], ["action", "h_out"])
-    torch.onnx.export(
-        module, args, path, input_names=names[0], output_names=names[1],
-        dynamo=False, **export_kwargs,
-    )
+        _export((obs, h), ["obs", "h_in"], ["action", "h_out"])
 
 
 # --------------------------------------------------------------------------
@@ -394,6 +416,18 @@ def _import_memory(sd: dict, prefix: str, rnn_type: str, num_layers: int,
     return out
 
 
+def _reject_orphan_norm(sd: dict, prefix: str, flag: str) -> None:
+    """A checkpoint trained WITH a normalizer imported into a policy built
+    without one would silently feed raw observations into weights trained on
+    normalized ones — fail as loudly as the opposite direction does."""
+    if f"{prefix}._mean" in sd:
+        raise ValueError(
+            f"checkpoint contains '{prefix}' statistics but the target policy"
+            f" was built with {flag}=False — its weights expect normalized"
+            " observations; enable the flag to import this model"
+        )
+
+
 def _import_std(policy, sd: dict):
     if getattr(policy, "state_dependent_std", False):
         return None
@@ -457,8 +491,12 @@ def import_torch_state_dict(policy, policy_state, state_dict: dict):
         norm = dict(ps.norm)
         if norm["student"] is not None:
             norm["student"] = _import_norm(sd, "student_obs_normalizer", norm["student"])
+        else:
+            _reject_orphan_norm(sd, "student_obs_normalizer", "student_obs_normalization")
         if aux.get("teacher_norm") is not None:
             aux["teacher_norm"] = _import_norm(sd, "teacher_obs_normalizer", aux["teacher_norm"])
+        else:
+            _reject_orphan_norm(sd, "teacher_obs_normalizer", "teacher_obs_normalization")
         new_ps = ps.replace(params=params, norm=norm, aux=aux)
     else:
         params = dict(ps.params)
@@ -477,8 +515,12 @@ def import_torch_state_dict(policy, policy_state, state_dict: dict):
         norm = dict(ps.norm)
         if norm["actor"] is not None:
             norm["actor"] = _import_norm(sd, "actor_obs_normalizer", norm["actor"])
+        else:
+            _reject_orphan_norm(sd, "actor_obs_normalizer", "actor_obs_normalization")
         if norm["critic"] is not None:
             norm["critic"] = _import_norm(sd, "critic_obs_normalizer", norm["critic"])
+        else:
+            _reject_orphan_norm(sd, "critic_obs_normalizer", "critic_obs_normalization")
         new_ps = ps.replace(params=params, norm=norm)
 
     # strict shape/structure validation against the configured architecture
@@ -531,12 +573,9 @@ def export_torch_state_dict(policy, policy_state) -> dict:
     sd: dict = {}
 
     def put_mlp(prefix: str, params: dict) -> None:
-        names = sorted(params.keys(), key=lambda s: int(s.split("_")[1]))
-        for i, name in enumerate(names):
-            sd[f"{prefix}.{2 * i}.weight"] = torch.from_numpy(
-                _np(params[name]["kernel"]).T.copy()
-            )
-            sd[f"{prefix}.{2 * i}.bias"] = torch.from_numpy(_np(params[name]["bias"]))
+        for i, (kernel, bias) in enumerate(_mlp_linears(params)):
+            sd[f"{prefix}.{2 * i}.weight"] = torch.from_numpy(kernel.T.copy())
+            sd[f"{prefix}.{2 * i}.bias"] = torch.from_numpy(bias)
 
     def put_norm(prefix: str, norm_state) -> None:
         sd[f"{prefix}._mean"] = torch.from_numpy(_np(norm_state.mean)[None])
@@ -547,31 +586,14 @@ def export_torch_state_dict(policy, policy_state) -> dict:
         )
 
     def put_memory(prefix: str, mem_params: dict, rnn_type: str, H: int) -> None:
-        is_gru = rnn_type.lower() == "gru"
         for layer in range(len(mem_params)):
-            p = mem_params[f"cell_{layer}"]
-
-            def k(name):
-                return torch.from_numpy(_np(p[name]["kernel"]).T.copy())
-
-            def b(name):
-                return torch.from_numpy(_np(p[name]["bias"]))
-
-            zero = torch.zeros(H)
-            if is_gru:
-                w_ih = torch.cat([k("ir"), k("iz"), k("in")])
-                b_ih = torch.cat([b("ir"), b("iz"), b("in")])
-                w_hh = torch.cat([k("hr"), k("hz"), k("hn")])
-                b_hh = torch.cat([zero, zero, b("hn")])
-            else:
-                w_ih = torch.cat([k("ii"), k("if"), k("ig"), k("io")])
-                b_ih = torch.cat([zero, zero, zero, zero])
-                w_hh = torch.cat([k("hi"), k("hf"), k("hg"), k("ho")])
-                b_hh = torch.cat([b("hi"), b("hf"), b("hg"), b("ho")])
-            sd[f"{prefix}.weight_ih_l{layer}"] = w_ih
-            sd[f"{prefix}.bias_ih_l{layer}"] = b_ih
-            sd[f"{prefix}.weight_hh_l{layer}"] = w_hh
-            sd[f"{prefix}.bias_hh_l{layer}"] = b_hh
+            w_ih, b_ih, w_hh, b_hh = _cell_to_torch_gates(
+                mem_params[f"cell_{layer}"], rnn_type, H
+            )
+            sd[f"{prefix}.weight_ih_l{layer}"] = torch.from_numpy(w_ih)
+            sd[f"{prefix}.bias_ih_l{layer}"] = torch.from_numpy(b_ih)
+            sd[f"{prefix}.weight_hh_l{layer}"] = torch.from_numpy(w_hh)
+            sd[f"{prefix}.bias_hh_l{layer}"] = torch.from_numpy(b_hh)
 
     def put_std(params: dict) -> None:
         if getattr(policy, "state_dependent_std", False):

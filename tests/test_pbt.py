@@ -80,6 +80,15 @@ class TestPBT:
         assert ratio != 1.0, "cloned learning rate was not perturbed"
         assert 0.8 <= min(ratio, 1.0 / ratio) and max(ratio, 1.0 / ratio) <= 1.25
 
+    def test_overlapping_pools_rejected(self):
+        """exploit_fraction > 0.5 would let replaced losers serve as clone
+        sources; construction must refuse."""
+        env, alg = _make()
+        with pytest.raises(ValueError, match="exploit_fraction"):
+            make_pbt_train(
+                alg, env, num_steps_per_env=8, num_seeds=4, exploit_fraction=0.75
+            )
+
     def test_exchange_waits_for_valid_fitness(self):
         # 32-step episodes vs 8-step rollouts: no seed finishes an episode
         # in the first iteration, so the (due) exchange must hold off

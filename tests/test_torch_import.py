@@ -122,6 +122,25 @@ class TestActorCriticImport:
                 policy, policy.init(jax.random.PRNGKey(0)), ref.state_dict()
             )
 
+    def test_orphan_normalizer_rejected(self):
+        """The opposite mismatch: checkpoint trained WITH a normalizer,
+        target policy built without one — importing would silently feed raw
+        obs into weights trained on normalized obs; must raise."""
+        torch.manual_seed(9)
+        ref = RefActorCritic(
+            _td(np.zeros((N, D), np.float32)), GROUPS, A,
+            actor_hidden_dims=[16], critic_hidden_dims=[16],
+            actor_obs_normalization=True,
+        )
+        policy = ActorCritic(
+            _jx(np.zeros((N, D), np.float32)), GROUPS, A,
+            actor_hidden_dims=[16], critic_hidden_dims=[16],
+        )
+        with pytest.raises(ValueError, match="actor_obs_normalization"):
+            import_torch_state_dict(
+                policy, policy.init(jax.random.PRNGKey(0)), ref.state_dict()
+            )
+
 
 class TestRecurrentImport:
     @pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
