@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from rsl_rl_tpu.algorithms.ppo import (
+    PPO,
     CollectState,
     TrainState,
     collect_extras_logs,
@@ -102,17 +103,11 @@ class Distillation:
             rng=k_rng,
         )
 
-    def init_collect_state(self, key: jax.Array, env) -> CollectState:
-        env_state, obs = env.reset(key)
-        return self.init_collect_state_from(env_state, obs, env.num_envs)
-
-    def init_collect_state_from(self, env_state, obs, num_envs: int) -> CollectState:
-        return CollectState(
-            env_state=env_state,
-            obs=obs,
-            carry=self.policy.initial_carry(num_envs),
-            stats=init_episode_stats(num_envs),
-        )
+    # collect-state construction is identical to PPO's (same CollectState,
+    # same carry/stats init) — share one implementation so boundary fixes
+    # apply to both algorithms
+    init_collect_state = PPO.init_collect_state
+    init_collect_state_from = PPO.init_collect_state_from
 
     # --------------------------------------------------------------- collect
 

@@ -31,6 +31,7 @@ class HostEpisodeTracker:
             "ep_count": 0.0,
         }
         self.log_acc: dict[str, float] = {}
+        self.log_counts: dict[str, int] = {}
         self.steps = 0
 
     def step(self, rew_np: np.ndarray, irew_np: np.ndarray, done_np: np.ndarray, extras: dict) -> None:
@@ -50,10 +51,20 @@ class HostEpisodeTracker:
             self.cur_len[d] = 0.0
             self.cur_erew[d] = 0.0
             self.cur_irew[d] = 0.0
-        for extras_key in ("episode", "log"):
-            if extras_key in extras:
-                for k, v in extras[extras_key].items():
-                    self.log_acc[k] = self.log_acc.get(k, 0.0) + float(np.mean(v))
+        # episode takes precedence over log (the reference's elif,
+        # on_policy_runner.py:114-117); means are over the steps a key was
+        # PRESENT, matching the reference's append-then-average deques —
+        # host envs emit these intermittently (e.g. only on episode ends)
+        if "episode" in extras:
+            group = extras["episode"]
+        elif "log" in extras:
+            group = extras.get("log")
+        else:
+            group = None
+        if group:
+            for k, v in group.items():
+                self.log_acc[k] = self.log_acc.get(k, 0.0) + float(np.mean(v))
+                self.log_counts[k] = self.log_counts.get(k, 0) + 1
 
     def stats(self):
         """Episode accumulators as a device-side ``EpisodeStats``."""
@@ -70,7 +81,9 @@ class HostEpisodeTracker:
         """Iteration totals + per-iteration extras means as jnp scalars."""
         out = {k: jnp.asarray(v, jnp.float32) for k, v in self.acc.items()}
         for k, v in self.log_acc.items():
-            out[f"extras/{k}"] = jnp.asarray(v / max(self.steps, 1), jnp.float32)
+            out[f"extras/{k}"] = jnp.asarray(
+                v / max(self.log_counts.get(k, 1), 1), jnp.float32
+            )
         return out
 
 

@@ -123,14 +123,18 @@ def step_episode_stats(
 
 
 def collect_extras_logs(extras: dict) -> dict[str, jax.Array]:
-    """Per-step scalar means of the env's ``episode``/``log`` extras
-    (reference on_policy_runner.py:113-117)."""
-    out = {}
-    for extras_key in ("episode", "log"):
-        if extras_key in extras:
-            for k, v in extras[extras_key].items():
-                out[k] = jnp.mean(jnp.asarray(v, jnp.float32))
-    return out
+    """Per-step scalar means of the env's ``episode``/``log`` extras.
+
+    ``episode`` takes precedence over ``log`` when both groups are present —
+    the reference's elif (on_policy_runner.py:114-117) appends exactly one of
+    the two dicts per step, never a merge."""
+    if "episode" in extras:
+        group = extras["episode"]
+    elif "log" in extras:
+        group = extras["log"]
+    else:
+        return {}
+    return {k: jnp.mean(jnp.asarray(v, jnp.float32)) for k, v in group.items()}
 
 
 @register("algorithm")
@@ -502,12 +506,19 @@ class PPO:
                     ("mu", rollout.mu),
                     ("sigma", rollout.sigma),
                 ]
-                widths, trails, flats = [], [], []
+                widths, trails, dtypes, flats = [], [], [], []
                 for _, v in columns:
                     flat = v.reshape(T * N, -1)
                     widths.append(flat.shape[1])
                     trails.append(v.shape[2:])  # original trailing shape
-                    flats.append(flat)
+                    dtypes.append(v.dtype)  # restored at unpack
+                    flats.append(flat.astype(jnp.float32))
+                # the pack is fp32 (concatenate would otherwise promote to
+                # the widest dtype anyway); narrow groups (uint8 images,
+                # bools) get their dtype back at unpack so the update sees
+                # the same obs dtypes as collection. If a real workload ever
+                # carries wide image groups, pack those per-dtype to avoid
+                # gathering 4x the bytes.
                 packed = jnp.concatenate(flats, axis=-1)[perm]
 
                 _scalar_fields = ("values", "returns", "advantages", "log_probs")
@@ -517,8 +528,8 @@ class PPO:
                     scalar fields are squeezed to [B], multi-dim fields (e.g.
                     image obs groups) get their trailing shape restored."""
                     out, off = {}, 0
-                    for (name, _), w, trail in zip(columns, widths, trails):
-                        col = rows[:, off : off + w]
+                    for (name, _), w, trail, dt in zip(columns, widths, trails, dtypes):
+                        col = rows[:, off : off + w].astype(dt)
                         if name in _scalar_fields:
                             out[name] = col[:, 0]
                         elif len(trail) > 1:

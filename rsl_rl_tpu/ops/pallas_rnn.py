@@ -110,6 +110,19 @@ def under_vmap() -> bool:
     try:
         trace = jax._src.core.trace_ctx.trace  # type: ignore[attr-defined]
     except AttributeError:  # pragma: no cover - jax moved the API: be safe
+        # conservative True keeps correctness (xproj cores serve every
+        # caller) at a known perf cost — surface it instead of hiding it.
+        # tests/test_multiseed.py::test_under_vmap_detection also fails on
+        # such a jax upgrade, since it pins False outside vmap.
+        import warnings
+
+        warnings.warn(
+            "pallas_rnn.under_vmap: jax trace-stack introspection failed"
+            " (jax internals moved); x-streaming/paired RNN kernels are"
+            " disabled, falling back to the xproj cores.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return True
     while trace is not None:
         if type(trace).__name__ == "BatchTrace":

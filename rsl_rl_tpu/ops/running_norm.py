@@ -27,14 +27,15 @@ class RunningNormState:
         mean: Running mean, shape ``shape``.
         var: Running (biased) variance, shape ``shape``.
         count: Total number of samples folded in (float32; exact up to 2^24).
-        until: Freeze threshold — updates stop once ``count >= until``.
-            ``0`` means never freeze (reference ``until=None``).
+        until: Freeze threshold — updates stop once ``count >= until``
+            (so ``0`` freezes immediately, as in the reference); ``None``
+            means never freeze (reference ``until=None``).
     """
 
     mean: jax.Array
     var: jax.Array
     count: jax.Array
-    until: float = struct.field(pytree_node=False, default=0.0)
+    until: float | None = struct.field(pytree_node=False, default=None)
     eps: float = struct.field(pytree_node=False, default=1e-2)
 
     @property
@@ -57,7 +58,7 @@ def init_running_norm(
         mean=jnp.zeros(shape, jnp.float32),
         var=jnp.ones(shape, jnp.float32),
         count=jnp.zeros((), jnp.float32),
-        until=0.0 if until is None else float(until),
+        until=None if until is None else float(until),
         eps=eps,
     )
 
@@ -92,7 +93,9 @@ def update_running_norm(state: RunningNormState, x: jax.Array) -> RunningNormSta
     for ax in batch_axes:
         count_x = count_x * x.shape[ax]
 
-    frozen = (state.until > 0.0) & (state.count >= state.until)
+    # static None -> never frozen; otherwise the reference's pre-update
+    # count check (count >= until, so until=0 freezes from the start)
+    frozen = False if state.until is None else state.count >= state.until
 
     new_count = state.count + count_x
     rate = count_x / new_count

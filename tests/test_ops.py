@@ -161,6 +161,19 @@ class TestRunningNorm:
         np.testing.assert_allclose(np.asarray(state.mean), frozen_mean)
         assert float(state.count) == 100
 
+    def test_until_zero_freezes_immediately(self):
+        """until=0 is a FROZEN normalizer (reference: count 0 >= until 0
+        returns before the first update, normalization.py:55) — distinct
+        from until=None (never freeze)."""
+        state = init_running_norm(2, until=0)
+        state = update_running_norm(state, 5.0 * jnp.ones((10, 2)))
+        np.testing.assert_allclose(np.asarray(state.mean), 0.0)
+        assert float(state.count) == 0
+
+        never = init_running_norm(2, until=None)
+        never = update_running_norm(never, 5.0 * jnp.ones((10, 2)))
+        np.testing.assert_allclose(np.asarray(never.mean), 5.0)
+
     def test_normalize_roundtrip(self):
         state = init_running_norm(3)
         x = jnp.asarray(np.random.default_rng(5).normal(size=(64, 3)).astype(np.float32))

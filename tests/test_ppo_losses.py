@@ -184,3 +184,46 @@ class TestTimeoutBootstrap:
         # a valid pendulum reward (in [-16.3, 0])
         raw = stored - ppo.gamma * value
         assert -16.4 <= raw <= 0.0
+
+
+
+class TestExtrasLogging:
+    """episode/log extras precedence (reference on_policy_runner.py:114-117:
+    exactly ONE of the two dicts is logged per step, episode first)."""
+
+    def test_device_collect_prefers_episode(self):
+        import jax.numpy as jnp
+
+        from rsl_rl_tpu.algorithms.ppo import collect_extras_logs
+
+        out = collect_extras_logs(
+            {"episode": {"m": jnp.asarray([1.0, 3.0])}, "log": {"m": jnp.asarray(9.0)}}
+        )
+        assert float(out["m"]) == 2.0  # episode mean, log ignored
+
+        out = collect_extras_logs({"log": {"m": jnp.asarray(9.0)}})
+        assert float(out["m"]) == 9.0
+
+        assert collect_extras_logs({"time_outs": jnp.zeros(2)}) == {}
+
+    def test_host_tracker_means_over_occurrences(self):
+        """Intermittently-present extras average over the steps they were
+        PRESENT (the reference's append-then-average deques), not over all
+        steps; episode beats log within a step."""
+        import jax
+
+        from rsl_rl_tpu.algorithms.ppo import init_episode_stats
+        from rsl_rl_tpu.algorithms.host_collect import HostEpisodeTracker
+
+        tracker = HostEpisodeTracker(init_episode_stats(2))
+        zeros = np.zeros(2, np.float32)
+        nodone = np.zeros(2, bool)
+        # 3 steps; the metric appears on one, with a decoy "log" duplicate
+        tracker.step(zeros, zeros, nodone, {})
+        tracker.step(
+            zeros, zeros, nodone,
+            {"episode": {"success": 1.0}, "log": {"success": 0.0}},
+        )
+        tracker.step(zeros, zeros, nodone, {})
+        m = jax.device_get(tracker.metrics())
+        assert float(m["extras/success"]) == 1.0
