@@ -183,6 +183,32 @@ def main() -> None:
 
     from rsl_rl_tpu.env import NLinkPendulum, Pendulum
 
+    # Startup watchdog, armed BEFORE the first device work: when the axon
+    # tunnel is down, backend init / the first device_get blocks forever and
+    # cannot be interrupted — without this, the bench would hang with no
+    # output at all. On timeout it still emits the one JSON line (value 0,
+    # an explicit error field) and exits non-zero, so the driver records a
+    # diagnosable failure instead of a killed silent process.
+    def _startup_bail():
+        print(
+            json.dumps(
+                {
+                    "metric": "ppo_env_steps_per_s_4096envs_nlink5_physics_bf16",
+                    "value": 0.0,
+                    "unit": "env-steps/s",
+                    "vs_baseline": 0.0,
+                    "error": "TPU backend unreachable: headline measurement"
+                             " did not complete within 600s (axon tunnel down?)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(4)
+
+    startup_watchdog = threading.Timer(600.0, _startup_bail)
+    startup_watchdog.daemon = True
+    startup_watchdog.start()
+
     # headline: bf16 MXU compute, the TPU-native training mode. Learning
     # quality matches fp32 on this task (3x800-iteration seeds: fp32
     # -234+/-77 vs bf16 -269+/-96 mean episode reward — overlapping bands;
@@ -190,6 +216,7 @@ def main() -> None:
     physics_bf16 = measure(
         NLinkPendulum(num_envs=NUM_ENVS, num_links=5), dtype=jnp.bfloat16
     )
+    startup_watchdog.cancel()
     result = {
         "metric": "ppo_env_steps_per_s_4096envs_nlink5_physics_bf16",
         "value": round(physics_bf16["steps_per_s"], 1),
