@@ -125,10 +125,15 @@ class MJXEnv(VecEnv):
     # -------------------------------------------------------------- contract
 
     def reset(self, key: jax.Array):
-        keys = jax.random.split(key, self.num_envs)
-        data = jax.vmap(self._init_one)(keys)
+        # num_envs + 1 splits: keys[0] seeds init noise, keys[1:] become the
+        # carried per-env streams — carrying the SAME keys that _init_one
+        # already consumed would make the first auto-reset's noise draws
+        # collide with the initial perturbations (the sibling envs reserve
+        # streams the same way)
+        keys = jax.random.split(key, self.num_envs + 1)
+        data = jax.vmap(self._init_one)(jax.random.split(keys[0], self.num_envs))
         state = MJXState(
-            rng=keys,
+            rng=keys[1:],
             episode_length=jnp.zeros((self.num_envs,), jnp.int32),
             data=data,
         )

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rsl_rl_tpu.modules.rnd import resolve_rnd_config
+from rsl_rl_tpu.modules.symmetry import resolve_symmetry_config
 from rsl_rl_tpu.runners.multiseed import make_multiseed_train
 from rsl_rl_tpu.runners.pbt import make_pbt_train
 from rsl_rl_tpu.utils.checkpoint import load_checkpoint, restore_typed, save_checkpoint
@@ -65,8 +67,17 @@ class MultiSeedRunner:
 
         # probe obs + resolve groups (reference on_policy_runner.py:40-44)
         _, obs = env.reset(key_env)
-        self.cfg["obs_groups"] = resolve_obs_groups(obs, self.cfg["obs_groups"], ["critic"])
+        default_sets = ["critic"]
+        if self.alg_cfg.get("rnd_cfg") is not None:
+            default_sets.append("rnd_state")  # defaulting parity with OnPolicyRunner
+        self.cfg["obs_groups"] = resolve_obs_groups(obs, self.cfg["obs_groups"], default_sets)
 
+        # same config resolution as OnPolicyRunner._construct_algorithm —
+        # rnd_cfg needs num_states/obs_groups/step_dt filled in, symmetry_cfg
+        # the _env handle; without these the configs the single-seed runner
+        # accepts would crash here
+        self.alg_cfg = resolve_rnd_config(self.alg_cfg, obs, self.cfg["obs_groups"], env)
+        self.alg_cfg = resolve_symmetry_config(self.alg_cfg, env)
         policy_class = resolve("policy", self.policy_cfg.pop("class_name"))
         policy = policy_class(obs, self.cfg["obs_groups"], env.num_actions, **self.policy_cfg)
         alg_class = resolve("algorithm", self.alg_cfg.pop("class_name"))

@@ -358,6 +358,7 @@ class OnPolicyRunner:
         for it in range(start_iter, tot_iter):
             if trace_window and it == trace_window[0] and self.log_dir:
                 jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
+                self._trace_active = True
             # Timing syncs on the metric fetch, not block_until_ready: on
             # tunneled/async backends block_until_ready can return before the
             # device work completes, while a value transfer cannot.
@@ -382,8 +383,12 @@ class OnPolicyRunner:
             self.train_state, self.collect_state = ts, cs
             self.current_learning_iteration = it
 
-            if trace_window and it == trace_window[1] and self.log_dir:
+            # guard on the start having fired in THIS run: a resume past
+            # trace_window[0] (start_iter > window start) must not call
+            # stop_trace without a start (RuntimeError kills the run)
+            if trace_window and it == trace_window[1] and getattr(self, "_trace_active", False):
                 jax.profiler.stop_trace()
+                self._trace_active = False
 
             metrics = {k: float(v) for k, v in m.items()}
             if self.log_dir is not None and not self.disable_logs:
@@ -410,6 +415,7 @@ class OnPolicyRunner:
             k = min(self.iterations_per_dispatch, tot_iter - it)
             if trace_window and it <= trace_window[0] < it + k and self.log_dir:
                 jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
+                self._trace_active = True
             start = time.time()
             if k == self.iterations_per_dispatch:
                 prog = self._k_iterations_cache.get(k)
@@ -429,8 +435,9 @@ class OnPolicyRunner:
                 ms = {key: np.asarray([t[key] for t in tail]) for key in tail[0]}
             elapsed = time.time() - start
             self.train_state, self.collect_state = ts, cs
-            if trace_window and it <= trace_window[1] < it + k and self.log_dir:
+            if trace_window and it <= trace_window[1] < it + k and getattr(self, "_trace_active", False):
                 jax.profiler.stop_trace()
+                self._trace_active = False
 
             save_due = False
             for j in range(k):

@@ -305,3 +305,22 @@ class TestBraxAdapterWithFake:
         for _ in range(3):
             state, obs, rew, done, extras = step(state, jnp.zeros((4, 1)))
         assert bool(done.all()) and bool(extras["time_outs"].all())
+
+
+class TestMJXRngStreams:
+    def test_carried_rng_distinct_from_init_noise_keys(self, fake_mjx):
+        """The per-env rng carried out of reset must NOT be the keys
+        _init_one already consumed for qpos/qvel noise — reusing them makes
+        the first auto-reset's noise draws collide with the initial
+        perturbations (biased domain randomization)."""
+        import jax
+        import jax.numpy as jnp
+
+        env = TestMJXAdapterWithFake()._make_env(num_envs=4)
+        key = jax.random.PRNGKey(7)
+        state, _ = env.reset(key)
+        consumed = jax.random.split(key, 4)  # the old (buggy) carried value
+        assert not np.array_equal(np.asarray(state.rng), np.asarray(consumed))
+        # streams stay pairwise distinct
+        rows = {tuple(np.asarray(r).tolist()) for r in state.rng}
+        assert len(rows) == 4

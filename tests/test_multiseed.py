@@ -260,3 +260,60 @@ class TestMultiseedKernelDispatch:
 
         jax.jit(plain)(np.ones(3, np.float32))
         assert seen["jit"] is False
+
+
+class TestMultiSeedRunnerConfigResolution:
+    """The runner must resolve rnd_cfg/symmetry_cfg exactly like
+    OnPolicyRunner (num_states/obs_groups/step_dt for RND, the _env handle
+    for symmetry) — the docstring promises schema parity."""
+
+    def _cfg(self, alg_extra):
+        return {
+            "num_steps_per_env": 8,
+            "save_interval": 1000,
+            "seed": 1,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                       "critic_hidden_dims": [16]},
+            "algorithm": {"class_name": "PPO", "num_learning_epochs": 2,
+                          "num_mini_batches": 2, **alg_extra},
+        }
+
+    def test_rnd_cfg_trains(self):
+        from rsl_rl_tpu.env import PointMass
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        env = PointMass(num_envs=8, max_episode_length=16)
+        runner = MultiSeedRunner(
+            env,
+            self._cfg({
+                "rnd_cfg": {
+                    "weight": 0.5,
+                    "num_outputs": 4,
+                    "predictor_hidden_dims": [-1],
+                    "target_hidden_dims": [-1],
+                }
+            }),
+            num_seeds=2,
+        )
+        runner.learn(1)
+        assert runner.train_state.rnd is not None
+
+    def test_symmetry_cfg_trains(self):
+        from rsl_rl_tpu.env import PointMass
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        env = PointMass(num_envs=8, max_episode_length=16)
+        runner = MultiSeedRunner(
+            env,
+            self._cfg({
+                "symmetry_cfg": {
+                    "use_data_augmentation": True,
+                    "use_mirror_loss": False,
+                    "data_augmentation_func": "rsl_rl_tpu.env.toy:point_mass_symmetry",
+                    "mirror_loss_coeff": 0.0,
+                }
+            }),
+            num_seeds=2,
+        )
+        runner.learn(1)

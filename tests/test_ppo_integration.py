@@ -428,3 +428,21 @@ class TestInferencePolicy:
         action = policy(obs)
         assert action.shape == (4, 1)
         assert target in action.devices()
+
+
+class TestProfilerTraceResume:
+    def test_resume_past_trace_start_does_not_crash(self, tmp_path):
+        """A run resumed past trace_window[0] never called start_trace; the
+        stop at trace_window[1] must be skipped, not raise
+        RuntimeError('No profile started') and kill training."""
+        from rsl_rl_tpu.env import Pendulum
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        cfg = _runner_cfg()
+        cfg["obs_groups"] = {"policy": ["policy"], "critic": ["policy"]}
+        cfg["profiler_trace_iterations"] = [0, 2]
+        runner = OnPolicyRunner(
+            Pendulum(num_envs=8, max_episode_length=16), cfg, log_dir=str(tmp_path)
+        )
+        runner.current_learning_iteration = 1  # resumed past the start
+        runner.learn(3)  # iterations 1..3 cross trace_window[1] == 2
