@@ -91,24 +91,15 @@ def train_cfg(seed: int, recurrent: bool = False) -> dict:
 # --------------------------------------------------------------------------
 
 
-def run_reference(
-    seed: int, iterations: int, num_envs: int = 64, recurrent: bool = False
-) -> list[float]:
-    """Train the reference library; returns mean completed-episode reward per
-    iteration (nan when no episode finished in that iteration)."""
+
+def make_torch_pendulum(n: int, partially_observable: bool = False):
+    """Reference-contract torch Pendulum env factory (module-level so the
+    distillation parity harness reuses the exact same task). Imports are
+    deferred so merely importing this module stays torch-free."""
     from benchmarks._reference_shim import TensorDictShim, install_reference_shims
 
     install_reference_shims()
     import torch
-    import rsl_rl.runners.on_policy_runner as ref_runner_mod
-    from rsl_rl.runners import OnPolicyRunner as RefRunner
-
-    # the reference snapshots git state unconditionally on the first learn()
-    # iteration (on_policy_runner.py:165-171), which requires GitPython and a
-    # log dir; neutralize it for the parity run
-    ref_runner_mod.store_code_state = lambda *a, **k: []
-
-    torch.manual_seed(seed)
 
     class TorchPendulum:
         """Reference-contract VecEnv with the same dynamics as our JAX env.
@@ -165,8 +156,29 @@ def run_reference(
 
             extras = {"time_outs": time_out}
             return self.get_observations(), rew, done, extras
+    return TorchPendulum(n, partially_observable)
 
-    env = TorchPendulum(num_envs, partially_observable=recurrent)
+
+def run_reference(
+    seed: int, iterations: int, num_envs: int = 64, recurrent: bool = False
+) -> list[float]:
+    """Train the reference library; returns mean completed-episode reward per
+    iteration (nan when no episode finished in that iteration)."""
+    from benchmarks._reference_shim import TensorDictShim, install_reference_shims
+
+    install_reference_shims()
+    import torch
+    import rsl_rl.runners.on_policy_runner as ref_runner_mod
+    from rsl_rl.runners import OnPolicyRunner as RefRunner
+
+    # the reference snapshots git state unconditionally on the first learn()
+    # iteration (on_policy_runner.py:165-171), which requires GitPython and a
+    # log dir; neutralize it for the parity run
+    ref_runner_mod.store_code_state = lambda *a, **k: []
+
+    torch.manual_seed(seed)
+
+    env = make_torch_pendulum(num_envs, partially_observable=recurrent)
     import tempfile
 
     # a real log_dir keeps the reference's learn() bookkeeping on its normal
