@@ -39,7 +39,7 @@ LENGTH = 1.0
 MAX_EPISODE_LENGTH = 200
 
 
-def train_cfg(seed: int, recurrent: bool = False) -> dict:
+def train_cfg(seed: int, recurrent: bool = False, rnd: bool = False) -> dict:
     """One config for both frameworks (registry resolves class names on ours;
     the reference eval()s the same names)."""
     policy = {
@@ -61,15 +61,28 @@ def train_cfg(seed: int, recurrent: bool = False) -> dict:
                 "critic_hidden_dims": [128],
             }
         )
+    obs_groups = {"policy": ["policy"], "critic": ["policy"]}
+    if rnd:
+        obs_groups["rnd_state"] = ["policy"]
     return {
         "num_steps_per_env": 24,
         "save_interval": 10_000,
         "seed": seed,
-        "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+        "obs_groups": obs_groups,
         "logger": "tensorboard",
         "policy": policy,
         "algorithm": {
             "class_name": "PPO",
+            # both frameworks' resolvers scale weight by env step_dt (0.05)
+            **({"rnd_cfg": {
+                "weight": 0.5,
+                "num_outputs": 16,
+                "predictor_hidden_dims": [-1],
+                "target_hidden_dims": [-1],
+                "state_normalization": True,
+                "reward_normalization": True,
+                "learning_rate": 1.0e-3,
+            }} if rnd else {}),
             "learning_rate": 1.0e-3,
             "num_learning_epochs": 5,
             "num_mini_batches": 4,
@@ -114,6 +127,9 @@ def make_torch_pendulum(n: int, partially_observable: bool = False):
             self.max_episode_length = MAX_EPISODE_LENGTH
             self.device = "cpu"
             self.cfg = {}
+            # the reference's resolve_rnd_config reads env.unwrapped.step_dt
+            self.unwrapped = self
+            self.step_dt = DT
             self.episode_length_buf = torch.zeros(n, dtype=torch.long)
             self.theta = torch.empty(n).uniform_(-math.pi, math.pi)
             self.theta_dot = torch.empty(n).uniform_(-1.0, 1.0)
@@ -160,7 +176,8 @@ def make_torch_pendulum(n: int, partially_observable: bool = False):
 
 
 def run_reference(
-    seed: int, iterations: int, num_envs: int = 64, recurrent: bool = False
+    seed: int, iterations: int, num_envs: int = 64, recurrent: bool = False,
+    rnd: bool = False,
 ) -> list[float]:
     """Train the reference library; returns mean completed-episode reward per
     iteration (nan when no episode finished in that iteration)."""
@@ -185,7 +202,7 @@ def run_reference(
     # code path (log_dir=None trips attribute errors in its first-iteration
     # git/logger block); saving is neutralized to avoid 600 checkpoints
     log_dir = tempfile.mkdtemp(prefix="ref_parity_")
-    runner = RefRunner(env, train_cfg(seed, recurrent), log_dir=log_dir, device="cpu")
+    runner = RefRunner(env, train_cfg(seed, recurrent, rnd), log_dir=log_dir, device="cpu")
     runner.save = lambda *a, **k: None
 
     curve = []
@@ -203,7 +220,8 @@ def run_reference(
 
 
 def run_ours(
-    seed: int, iterations: int, num_envs: int = 64, recurrent: bool = False
+    seed: int, iterations: int, num_envs: int = 64, recurrent: bool = False,
+    rnd: bool = False,
 ) -> list[float]:
     import jax
 
@@ -212,16 +230,19 @@ def run_ours(
 
     env_cls = PartiallyObservablePendulum if recurrent else Pendulum
     env = env_cls(num_envs=num_envs, max_episode_length=MAX_EPISODE_LENGTH)
-    runner = OnPolicyRunner(env, train_cfg(seed, recurrent), log_dir=None)
+    runner = OnPolicyRunner(env, train_cfg(seed, recurrent, rnd), log_dir=None)
     ts, cs = runner.train_state, runner.collect_state
 
+    # with RND on, compare EXTRINSIC returns: the torch env's bookkeeping is
+    # env-side (extrinsic by construction), ep_reward_sum includes intrinsic
+    reward_key = "ep_ereward_sum" if rnd else "ep_reward_sum"
     curve = []
     for _ in range(iterations):
         ts, cs, rollout, cm = runner._collect(ts, cs)
         ts, cs, um = runner._update(ts, cs, rollout)
         m = jax.device_get(cm)
         count = float(m["ep_count"])
-        curve.append(float(m["ep_reward_sum"]) / count if count > 0 else float("nan"))
+        curve.append(float(m[reward_key]) / count if count > 0 else float("nan"))
     return curve
 
 
@@ -265,10 +286,14 @@ def main():
         "--recurrent", action="store_true",
         help="GRU ActorCriticRecurrent on the partially observable task",
     )
+    p.add_argument(
+        "--rnd", action="store_true",
+        help="PPO + Random Network Distillation intrinsic rewards",
+    )
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
     if args.out is None:
-        suffix = "_recurrent" if args.recurrent else ""
+        suffix = ("_recurrent" if args.recurrent else "") + ("_rnd" if args.rnd else "")
         args.out = f"benchmarks/results/parity_pendulum{suffix}.json"
 
     curves = {"rsl_rl_tpu": [], "reference": []}
@@ -277,7 +302,7 @@ def main():
     for seed in args.seeds:
         t0 = time.time()
         curves["rsl_rl_tpu"].append(
-            run_ours(seed, args.iterations, args.num_envs, args.recurrent)
+            run_ours(seed, args.iterations, args.num_envs, args.recurrent, args.rnd)
         )
         timings.setdefault("rsl_rl_tpu_s", []).append(round(time.time() - t0, 1))
         print(f"[ours seed={seed}] done in {timings['rsl_rl_tpu_s'][-1]}s", flush=True)
@@ -286,13 +311,15 @@ def main():
         for seed in args.seeds:
             t0 = time.time()
             curves["reference"].append(
-                run_reference(seed, args.iterations, args.num_envs, args.recurrent)
+                run_reference(seed, args.iterations, args.num_envs, args.recurrent, args.rnd)
             )
             timings.setdefault("reference_s", []).append(round(time.time() - t0, 1))
             print(f"[reference seed={seed}] done in {timings['reference_s'][-1]}s", flush=True)
 
     rows = summarize(curves)
     task_name = "po_pendulum_gru" if args.recurrent else "pendulum_swingup"
+    if args.rnd:
+        task_name += "_rnd"
     out = {
         "task": f"{task_name}_{args.num_envs}envs",
         "iterations": args.iterations,
