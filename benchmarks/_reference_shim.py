@@ -89,6 +89,21 @@ class TensorDictShim(dict):
             device=device,
         )
 
+    def detach(self):
+        # reference symmetry loss detaches the obs batch (ppo.py:328)
+        return TensorDictShim(
+            {k: v.detach() for k, v in self.items()},
+            batch_size=self.batch_size,
+            device=self.device,
+        )
+
+    def clone(self):
+        return TensorDictShim(
+            {k: v.clone() for k, v in self.items()},
+            batch_size=self.batch_size,
+            device=self.device,
+        )
+
 
 def install_reference_shims() -> None:
     """Register the git/tensordict stand-ins and put /root/reference on the path."""
