@@ -38,22 +38,38 @@ from benchmarks.parity_pendulum import (
 TEACHER_ITERATIONS = 400
 
 
-def distill_cfg(seed: int) -> dict:
-    """One distillation config for both frameworks (same class names)."""
+def distill_cfg(seed: int, recurrent: bool = False) -> dict:
+    """One distillation config for both frameworks (same class names).
+
+    ``recurrent``: a GRU student on the partially observable obs set cloning
+    a feedforward teacher that sees the privileged (full-state) set — the
+    canonical sim-to-real distillation setup."""
+    policy = {
+        "class_name": "StudentTeacher",
+        "student_hidden_dims": [128, 128],
+        "teacher_hidden_dims": [128, 128],  # must match the RL actor
+        "student_obs_normalization": True,
+        "teacher_obs_normalization": True,
+        "init_noise_std": 0.1,
+    }
+    obs_groups = {"policy": ["policy"], "teacher": ["policy"]}
+    if recurrent:
+        policy.update(
+            {
+                "class_name": "StudentTeacherRecurrent",
+                "rnn_type": "gru",
+                "rnn_hidden_dim": 64,
+                "student_hidden_dims": [128],
+            }
+        )
+        obs_groups = {"policy": ["policy"], "teacher": ["privileged"]}
     return {
         "num_steps_per_env": 24,
         "save_interval": 10_000,
         "seed": seed,
-        "obs_groups": {"policy": ["policy"], "teacher": ["policy"]},
+        "obs_groups": obs_groups,
         "logger": "tensorboard",
-        "policy": {
-            "class_name": "StudentTeacher",
-            "student_hidden_dims": [128, 128],
-            "teacher_hidden_dims": [128, 128],  # must match the RL actor
-            "student_obs_normalization": True,
-            "teacher_obs_normalization": True,
-            "init_noise_std": 0.1,
-        },
+        "policy": policy,
         "algorithm": {
             "class_name": "Distillation",
             "learning_rate": 1.0e-3,
@@ -69,18 +85,27 @@ def distill_cfg(seed: int) -> dict:
 # --------------------------------------------------------------------------
 
 
-def train_teacher(tmp_dir: str, num_envs: int = 64) -> tuple[str, str, float]:
+def train_teacher(
+    tmp_dir: str, num_envs: int = 64, privileged: bool = False
+) -> tuple[str, str, float]:
     """Train the RL teacher with THIS framework, save it in BOTH checkpoint
-    formats; returns (ours_ckpt, reference_ckpt, teacher_reward)."""
+    formats; returns (ours_ckpt, reference_ckpt, teacher_reward). With
+    ``privileged`` the teacher trains on the full-state obs group of
+    ``PrivilegedPendulum`` (the set the distilled student will NOT see)."""
     import jax
     import torch
 
-    from rsl_rl_tpu.env import Pendulum
+    from rsl_rl_tpu.env import Pendulum, PrivilegedPendulum
     from rsl_rl_tpu.runners import OnPolicyRunner
     from rsl_rl_tpu.utils.torch_deploy import export_torch_state_dict
 
-    env = Pendulum(num_envs=num_envs, max_episode_length=MAX_EPISODE_LENGTH)
-    runner = OnPolicyRunner(env, train_cfg(seed=0), log_dir=None)
+    cfg = train_cfg(seed=0)
+    if privileged:
+        env = PrivilegedPendulum(num_envs=num_envs, max_episode_length=MAX_EPISODE_LENGTH)
+        cfg["obs_groups"] = {"policy": ["privileged"], "critic": ["privileged"]}
+    else:
+        env = Pendulum(num_envs=num_envs, max_episode_length=MAX_EPISODE_LENGTH)
+    runner = OnPolicyRunner(env, cfg, log_dir=None)
     ts, cs = runner.train_state, runner.collect_state
     reward, count = 0.0, 0.0
     for it in range(TEACHER_ITERATIONS):
@@ -116,14 +141,16 @@ def train_teacher(tmp_dir: str, num_envs: int = 64) -> tuple[str, str, float]:
 # --------------------------------------------------------------------------
 
 
-def run_ours(seed: int, iterations: int, teacher_ckpt: str, num_envs: int = 64):
+def run_ours(seed: int, iterations: int, teacher_ckpt: str, num_envs: int = 64,
+             recurrent: bool = False):
     import jax
 
-    from rsl_rl_tpu.env import Pendulum
+    from rsl_rl_tpu.env import Pendulum, PrivilegedPendulum
     from rsl_rl_tpu.runners import DistillationRunner
 
-    env = Pendulum(num_envs=num_envs, max_episode_length=MAX_EPISODE_LENGTH)
-    runner = DistillationRunner(env, distill_cfg(seed), log_dir=None)
+    env_cls = PrivilegedPendulum if recurrent else Pendulum
+    env = env_cls(num_envs=num_envs, max_episode_length=MAX_EPISODE_LENGTH)
+    runner = DistillationRunner(env, distill_cfg(seed, recurrent), log_dir=None)
     runner.load(teacher_ckpt, load_optimizer=False)
     assert runner.alg.policy.loaded_teacher
     ts, cs = runner.train_state, runner.collect_state
@@ -139,7 +166,8 @@ def run_ours(seed: int, iterations: int, teacher_ckpt: str, num_envs: int = 64):
     return rewards, losses
 
 
-def run_reference(seed: int, iterations: int, teacher_pt: str, num_envs: int = 64):
+def run_reference(seed: int, iterations: int, teacher_pt: str, num_envs: int = 64,
+                  recurrent: bool = False):
     from benchmarks._reference_shim import install_reference_shims
 
     install_reference_shims()
@@ -150,11 +178,15 @@ def run_reference(seed: int, iterations: int, teacher_pt: str, num_envs: int = 6
     ref_runner_mod.store_code_state = lambda *a, **k: []
     torch.manual_seed(seed)
 
-    env = make_torch_pendulum(num_envs)
+    env = make_torch_pendulum(
+        num_envs, partially_observable=recurrent, privileged_group=recurrent
+    )
     import tempfile
 
     log_dir = tempfile.mkdtemp(prefix="ref_distill_")
-    runner = RefDistillationRunner(env, distill_cfg(seed), log_dir=log_dir, device="cpu")
+    runner = RefDistillationRunner(
+        env, distill_cfg(seed, recurrent), log_dir=log_dir, device="cpu"
+    )
     runner.save = lambda *a, **k: None
     runner.load(teacher_pt, load_optimizer=False)
     assert runner.alg.policy.loaded_teacher
@@ -213,14 +245,23 @@ def main():
     p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
     p.add_argument("--num-envs", type=int, default=64)
     p.add_argument("--skip-reference", action="store_true")
-    p.add_argument("--out", type=str, default="benchmarks/results/parity_distillation.json")
+    p.add_argument(
+        "--recurrent", action="store_true",
+        help="GRU student on the PO obs set cloning a privileged ff teacher",
+    )
+    p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
+    if args.out is None:
+        suffix = "_recurrent" if args.recurrent else ""
+        args.out = f"benchmarks/results/parity_distillation{suffix}.json"
 
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="distill_teacher_")
     t0 = time.time()
-    ours_ckpt, ref_ckpt, teacher_reward = train_teacher(tmp, args.num_envs)
+    ours_ckpt, ref_ckpt, teacher_reward = train_teacher(
+        tmp, args.num_envs, privileged=args.recurrent
+    )
     print(
         f"[teacher] trained {TEACHER_ITERATIONS} iters in {time.time() - t0:.0f}s,"
         f" trailing mean episode reward {teacher_reward:.1f}",
@@ -233,7 +274,9 @@ def main():
 
     for seed in args.seeds:
         t0 = time.time()
-        rewards, losses = run_ours(seed, args.iterations, ours_ckpt, args.num_envs)
+        rewards, losses = run_ours(
+            seed, args.iterations, ours_ckpt, args.num_envs, args.recurrent
+        )
         curves["rsl_rl_tpu"].append(rewards)
         loss_curves["rsl_rl_tpu"].append(losses)
         timings.setdefault("rsl_rl_tpu_s", []).append(round(time.time() - t0, 1))
@@ -242,15 +285,18 @@ def main():
     if not args.skip_reference and os.path.isdir("/root/reference"):
         for seed in args.seeds:
             t0 = time.time()
-            rewards, losses = run_reference(seed, args.iterations, ref_ckpt, args.num_envs)
+            rewards, losses = run_reference(
+                seed, args.iterations, ref_ckpt, args.num_envs, args.recurrent
+            )
             curves["reference"].append(rewards)
             loss_curves["reference"].append(losses)
             timings.setdefault("reference_s", []).append(round(time.time() - t0, 1))
             print(f"[reference seed={seed}] done in {timings['reference_s'][-1]}s", flush=True)
 
     rows = summarize(curves)
+    task = "pendulum_distillation" + ("_recurrent_privileged" if args.recurrent else "")
     out = {
-        "task": f"pendulum_distillation_{args.num_envs}envs",
+        "task": f"{task}_{args.num_envs}envs",
         "teacher_iterations": TEACHER_ITERATIONS,
         "teacher_trailing_reward": round(teacher_reward, 1),
         "iterations": args.iterations,

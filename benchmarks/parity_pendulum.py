@@ -105,10 +105,14 @@ def train_cfg(seed: int, recurrent: bool = False, rnd: bool = False) -> dict:
 
 
 
-def make_torch_pendulum(n: int, partially_observable: bool = False):
+def make_torch_pendulum(
+    n: int, partially_observable: bool = False, privileged_group: bool = False
+):
     """Reference-contract torch Pendulum env factory (module-level so the
     distillation parity harness reuses the exact same task). Imports are
-    deferred so merely importing this module stays torch-free."""
+    deferred so merely importing this module stays torch-free.
+    ``privileged_group`` adds a full-state ``"privileged"`` obs group (the
+    torch twin of ``rsl_rl_tpu.env.PrivilegedPendulum``)."""
     from benchmarks._reference_shim import TensorDictShim, install_reference_shims
 
     install_reference_shims()
@@ -120,8 +124,10 @@ def make_torch_pendulum(n: int, partially_observable: bool = False):
         With ``partially_observable`` the velocity is hidden (our
         ``PartiallyObservablePendulum``), separating recurrent policies."""
 
-        def __init__(self, n: int, partially_observable: bool = False):
+        def __init__(self, n: int, partially_observable: bool = False,
+                     privileged_group: bool = False):
             self.partially_observable = partially_observable
+            self.privileged_group = privileged_group
             self.num_envs = n
             self.num_actions = 1
             self.max_episode_length = MAX_EPISODE_LENGTH
@@ -141,8 +147,13 @@ def make_torch_pendulum(n: int, partially_observable: bool = False):
             parts = [torch.cos(self.theta), torch.sin(self.theta)]
             if not self.partially_observable:
                 parts.append(self.theta_dot)
-            obs = torch.stack(parts, dim=-1)
-            return TensorDictShim({"policy": obs}, batch_size=[self.num_envs], device="cpu")
+            obs = {"policy": torch.stack(parts, dim=-1)}
+            if self.privileged_group:
+                obs["privileged"] = torch.stack(
+                    [torch.cos(self.theta), torch.sin(self.theta), self.theta_dot],
+                    dim=-1,
+                )
+            return TensorDictShim(obs, batch_size=[self.num_envs], device="cpu")
 
         def step(self, actions):
             u = torch.clamp(actions[:, 0], -MAX_TORQUE, MAX_TORQUE)
@@ -172,7 +183,7 @@ def make_torch_pendulum(n: int, partially_observable: bool = False):
 
             extras = {"time_outs": time_out}
             return self.get_observations(), rew, done, extras
-    return TorchPendulum(n, partially_observable)
+    return TorchPendulum(n, partially_observable, privileged_group)
 
 
 def run_reference(

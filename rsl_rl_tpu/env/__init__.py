@@ -6,7 +6,11 @@ from rsl_rl_tpu.env.hopper import Hopper
 from rsl_rl_tpu.env.host_env import GymVecEnv, HostVecEnv
 from rsl_rl_tpu.env.mjx_env import MJXEnv
 from rsl_rl_tpu.env.nlink import NLinkPendulum
-from rsl_rl_tpu.env.pendulum import PartiallyObservablePendulum, Pendulum
+from rsl_rl_tpu.env.pendulum import (
+    PartiallyObservablePendulum,
+    Pendulum,
+    PrivilegedPendulum,
+)
 from rsl_rl_tpu.env.reacher import Reacher
 from rsl_rl_tpu.env.sparse import SparseGoalReach
 from rsl_rl_tpu.env.toy import PointMass
@@ -17,6 +21,7 @@ __all__ = [
     "EnvState",
     "Pendulum",
     "PartiallyObservablePendulum",
+    "PrivilegedPendulum",
     "CartPoleSwingUp",
     "PointMass",
     "HostVecEnv",

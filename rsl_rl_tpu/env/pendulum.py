@@ -115,3 +115,23 @@ class PartiallyObservablePendulum(Pendulum):
     def _obs(self, state: PendulumState) -> dict[str, jax.Array]:
         obs = jnp.stack([jnp.cos(state.theta), jnp.sin(state.theta)], axis=-1)
         return {"policy": obs}
+
+
+@register("env")
+class PrivilegedPendulum(Pendulum):
+    """Teacher-student pendulum: two observation groups.
+
+    ``"policy"`` is partially observable (``[cos, sin]`` — what the deployed
+    student senses); ``"privileged"`` adds the angular velocity
+    (``[cos, sin, theta_dot]`` — what a simulation-only teacher sees). The
+    canonical privileged-distillation setup the reference's StudentTeacher
+    classes target (reference modules/student_teacher.py:15, obs-set
+    separation via obs_groups).
+    """
+
+    def _obs(self, state: PendulumState) -> dict[str, jax.Array]:
+        cos, sin = jnp.cos(state.theta), jnp.sin(state.theta)
+        return {
+            "policy": jnp.stack([cos, sin], axis=-1),
+            "privileged": jnp.stack([cos, sin, state.theta_dot], axis=-1),
+        }

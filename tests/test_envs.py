@@ -11,6 +11,7 @@ from rsl_rl_tpu.env import (
     NLinkPendulum,
     PartiallyObservablePendulum,
     Pendulum,
+    PrivilegedPendulum,
     PointMass,
     Reacher,
     SparseGoalReach,
@@ -19,6 +20,7 @@ from rsl_rl_tpu.env import (
 ENVS = [
     lambda n: Pendulum(num_envs=n, max_episode_length=50),
     lambda n: PartiallyObservablePendulum(num_envs=n, max_episode_length=50),
+    lambda n: PrivilegedPendulum(num_envs=n, max_episode_length=50),
     lambda n: CartPoleSwingUp(num_envs=n, max_episode_length=50),
     lambda n: PointMass(num_envs=n, max_episode_length=50),
     lambda n: SparseGoalReach(num_envs=n, max_episode_length=50),
