@@ -312,48 +312,67 @@ def main() -> None:
     watchdog = threading.Timer(780.0, _bail)
     watchdog.daemon = True
     watchdog.start()
-    try:
-        physics = measure(NLinkPendulum(num_envs=NUM_ENVS, num_links=5))
-        toy = measure(Pendulum(num_envs=NUM_ENVS))
-        recurrent = measure(
-            NLinkPendulum(num_envs=NUM_ENVS, num_links=5), recurrent="gru"
-        )
-        recurrent_lstm = measure(
-            NLinkPendulum(num_envs=NUM_ENVS, num_links=5), recurrent="lstm"
-        )
-        small_k1 = measure_small_config(1)
-        small_k20 = measure_small_config(20)
-    except Exception as e:  # headline survives a failed extra
-        _flush(f"extras failed: {type(e).__name__}: {e}")
-        raise SystemExit(3)  # degraded run: headline only
-    finally:
-        watchdog.cancel()
 
-    with lock:
-        if not flushed[0]:
-            result.update(
-                {
-                    "fp32_env_steps_per_s": round(physics["steps_per_s"], 1),
-                    "fp32_collect_s_per_iter": round(physics["collect_s"], 5),
-                    "fp32_learn_s_per_iter": round(physics["learn_s"], 5),
-                    "toy_pendulum_env_steps_per_s": round(toy["steps_per_s"], 1),
-                    "toy_collect_s_per_iter": round(toy["collect_s"], 5),
-                    "toy_learn_s_per_iter": round(toy["learn_s"], 5),
-                    "recurrent_gru256_env_steps_per_s": round(recurrent["steps_per_s"], 1),
-                    "recurrent_collect_s_per_iter": round(recurrent["collect_s"], 5),
-                    "recurrent_learn_s_per_iter": round(recurrent["learn_s"], 5),
-                    "recurrent_lstm256_env_steps_per_s": round(
-                        recurrent_lstm["steps_per_s"], 1
-                    ),
-                    "recurrent_lstm_learn_s_per_iter": round(
-                        recurrent_lstm["learn_s"], 5
-                    ),
-                    "config1_64env_steps_per_s_k1": round(small_k1, 1),
-                    "config1_64env_steps_per_s_k20": round(small_k20, 1),
-                }
-            )
-            flushed[0] = True
-            print(json.dumps(result))
+    # Each extra is guarded independently: a failure in one workload (e.g. a
+    # backend quirk in one kernel configuration) must not discard the others'
+    # numbers. A wedged device_get still can't be interrupted — that case is
+    # the watchdog's job (it flushes whatever accumulated so far).
+    failures: list[str] = []
+
+    def _extra(tag: str, fields_fn) -> None:
+        try:
+            fields = fields_fn()
+        except Exception as e:
+            failures.append(f"{tag}: {type(e).__name__}: {e}")
+            return
+        with lock:
+            result.update(fields)
+
+    def _workload(prefix: str, split_prefix: str, with_collect: bool = True, **kw):
+        m = measure(NLinkPendulum(num_envs=NUM_ENVS, num_links=5), **kw)
+        fields = {
+            f"{prefix}_env_steps_per_s": round(m["steps_per_s"], 1),
+            f"{split_prefix}_learn_s_per_iter": round(m["learn_s"], 5),
+        }
+        if with_collect:
+            fields[f"{split_prefix}_collect_s_per_iter"] = round(m["collect_s"], 5)
+        return fields
+
+    def _toy():
+        m = measure(Pendulum(num_envs=NUM_ENVS))
+        return {
+            "toy_pendulum_env_steps_per_s": round(m["steps_per_s"], 1),
+            "toy_collect_s_per_iter": round(m["collect_s"], 5),
+            "toy_learn_s_per_iter": round(m["learn_s"], 5),
+        }
+
+    _extra("fp32", lambda: _workload("fp32", "fp32"))
+    _extra("toy", _toy)
+    _extra(
+        "recurrent_gru",
+        lambda: _workload("recurrent_gru256", "recurrent", recurrent="gru"),
+    )
+    _extra(
+        "recurrent_lstm",
+        lambda: _workload(
+            "recurrent_lstm256", "recurrent_lstm", with_collect=False,
+            recurrent="lstm",
+        ),
+    )
+    _extra("config1_k1", lambda: {
+        "config1_64env_steps_per_s_k1": round(measure_small_config(1), 1)
+    })
+    _extra("config1_k20", lambda: {
+        "config1_64env_steps_per_s_k20": round(measure_small_config(20), 1)
+    })
+
+    watchdog.cancel()
+    if failures:
+        with lock:
+            result["extras_failed"] = "; ".join(failures)
+    _flush()
+    if failures:
+        raise SystemExit(3)  # degraded run: some extras missing
 
 
 if __name__ == "__main__":
