@@ -293,7 +293,10 @@ def main():
             timings.setdefault("reference_s", []).append(round(time.time() - t0, 1))
             print(f"[reference seed={seed}] done in {timings['reference_s'][-1]}s", flush=True)
 
-    rows = summarize(curves)
+    checkpoints = (25, 50, 100, 150, 200)
+    if args.iterations not in checkpoints:
+        checkpoints += (args.iterations,)
+    rows = summarize(curves, checkpoints=checkpoints)
     task = "pendulum_distillation" + ("_recurrent_privileged" if args.recurrent else "")
     out = {
         "task": f"{task}_{args.num_envs}envs",
