@@ -245,29 +245,19 @@ def _await_backend(budget_s: float = 900.0) -> bool:
         time.sleep(30)
 
 
-def main() -> None:
+def _measure_main() -> None:
+    """One measurement pass: headline + extras, one JSON line on stdout.
+
+    Runs as a CHILD of :func:`_supervise` (``bench.py --measure``) so a
+    tunnel wedge mid-measurement — a blocked ``device_get`` cannot be
+    interrupted in-process — is recoverable: the parent kills this whole
+    process group and retries. Internal watchdogs make the child
+    self-terminating even without the parent."""
     import threading
 
     import jax.numpy as jnp
 
     from rsl_rl_tpu.env import NLinkPendulum, Pendulum
-
-    if not _await_backend():
-        print(
-            json.dumps(
-                {
-                    "metric": "ppo_env_steps_per_s_4096envs_nlink5_physics_bf16",
-                    "value": 0.0,
-                    "unit": "env-steps/s",
-                    "vs_baseline": 0.0,
-                    "error": "TPU backend unreachable: subprocess probes failed"
-                             " for 900s before any measurement (axon tunnel"
-                             " down?)",
-                }
-            ),
-            flush=True,
-        )
-        raise SystemExit(4)
 
     # Startup watchdog, armed BEFORE the first device work: when the axon
     # tunnel is down, backend init / the first device_get blocks forever and
@@ -409,6 +399,95 @@ def main() -> None:
     _flush()
     if failures:
         raise SystemExit(3)  # degraded run: some extras missing
+
+
+HEADLINE_METRIC = "ppo_env_steps_per_s_4096envs_nlink5_physics_bf16"
+
+
+def _supervise() -> None:
+    """Run the measurement suite in a killable child, retrying on a wedge.
+
+    Observed failure mode on the tunneled backend: the probe succeeds, the
+    child starts measuring, then the tunnel flaps and a ``device_get``
+    blocks forever — uninterruptible from inside the process, so the
+    child's watchdog fires and the attempt produces a zero-value headline.
+    The fix is process-level: each attempt is a separate child process
+    (its own process group); the parent re-probes the backend between
+    attempts and accepts only a positive headline value. Only exhausted
+    retries yield a zero-value artifact."""
+    import signal
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + 2700.0  # total budget across attempts
+    errors: list[str] = []
+    for attempt in range(1, 4):
+        left = deadline - time.monotonic()
+        if left <= 120.0:
+            errors.append(f"attempt {attempt}: skipped, total budget exhausted")
+            break
+        if not _await_backend(min(600.0, left)):
+            errors.append(f"attempt {attempt}: backend probes never succeeded")
+            continue
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--measure"],
+            stdout=subprocess.PIPE,
+            text=True,
+            start_new_session=True,  # own process group: killable as a unit
+        )
+        try:
+            # the child's own watchdogs bound it at ~600s pre-headline +
+            # 900s extras; slack beyond that means it is wedged, not slow
+            out, _ = child.communicate(
+                timeout=min(1800.0, max(180.0, deadline - time.monotonic()))
+            )
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                child.kill()
+            child.wait()
+            errors.append(
+                f"attempt {attempt}: child wedged past its own watchdogs (killed)"
+            )
+            continue
+        payload = None
+        for cand in (out or "").splitlines():
+            cand = cand.strip()
+            if cand.startswith("{") and '"metric"' in cand:
+                try:
+                    payload = json.loads(cand)
+                except ValueError:
+                    continue
+        if payload is not None and payload.get("value", 0) > 0:
+            if attempt > 1:
+                payload["bench_attempts"] = attempt
+            print(json.dumps(payload), flush=True)
+            raise SystemExit(child.returncode if child.returncode == 3 else 0)
+        err = (payload or {}).get("error", "no headline JSON produced")
+        errors.append(f"attempt {attempt}: exit={child.returncode}, {err}")
+    print(
+        json.dumps(
+            {
+                "metric": HEADLINE_METRIC,
+                "value": 0.0,
+                "unit": "env-steps/s",
+                "vs_baseline": 0.0,
+                "error": "; ".join(errors),
+            }
+        ),
+        flush=True,
+    )
+    raise SystemExit(4)
+
+
+def main() -> None:
+    import sys
+
+    if "--measure" in sys.argv[1:]:
+        _measure_main()
+    else:
+        _supervise()
 
 
 if __name__ == "__main__":
