@@ -397,6 +397,10 @@ class PPO:
             obs, carry = cs.obs, cs.carry
             carry0 = carry
             tracker = HostEpisodeTracker(cs.stats)
+            # without RND the intrinsic reward is identically zero: feed the
+            # tracker a reused host-side buffer instead of paying a blocking
+            # device->host transfer per env step (cf. the distillation loop)
+            zero_irew = np.zeros((env.num_envs,), np.float32)
             traj = {k: [] for k in ("obs", "actions", "rewards", "dones", "values",
                                     "log_probs", "mu", "sigma")}
             for _ in range(num_steps_per_env):
@@ -421,7 +425,12 @@ class PPO:
                 traj["mu"].append(mean)
                 traj["sigma"].append(std)
                 obs = next_obs
-                tracker.step(np.asarray(rew_np), to_host(irew_dev), done_np, extras)
+                tracker.step(
+                    np.asarray(rew_np),
+                    to_host(irew_dev) if rnd is not None else zero_irew,
+                    done_np,
+                    extras,
+                )
 
             stacked = stack_trajectory(traj)
             if bridge is not None:

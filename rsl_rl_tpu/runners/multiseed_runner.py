@@ -157,11 +157,19 @@ class MultiSeedRunner:
             >= 100.0 * self.num_seeds
         ):
             self._ep_window.popleft()
+        count, rew, length = self._window_reduce()
+        return rew, length, float(count.sum())
+
+    def _window_reduce(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Read-only reduction of the current window: per-seed episode
+        ``(count, mean reward, mean length)`` — the ONE definition both
+        ``_window_stats`` (logging) and ``seed_rewards`` (best-seed export)
+        use, so they cannot diverge."""
         count = sum(e[2] for e in self._ep_window)  # [S]
         safe = np.maximum(count, 1.0)
         rew = sum(e[0] for e in self._ep_window) / safe
         length = sum(e[1] for e in self._ep_window) / safe
-        return rew, length, float(count.sum())
+        return count, rew, length
 
     def seed_rewards(self) -> tuple[np.ndarray, float]:
         """Per-seed trailing-window mean rewards and the total completed
@@ -171,9 +179,7 @@ class MultiSeedRunner:
         completed and the rewards are meaningless."""
         if not self._ep_window:
             return np.zeros(self.num_seeds), 0.0
-        count = sum(e[2] for e in self._ep_window)
-        safe = np.maximum(count, 1.0)
-        rew = sum(e[0] for e in self._ep_window) / safe
+        count, rew, _ = self._window_reduce()
         return np.asarray(rew), float(np.asarray(count).sum())
 
     def _log(self, it: int, m: dict, iteration_time: float) -> None:
@@ -245,6 +251,13 @@ class MultiSeedRunner:
                 f" (checkpoint {'has' if 'pbt' in loaded else 'lacks'} PBT"
                 " state); construct the runner with the matching `pbt=`"
                 " argument."
+            )
+        if ("rnd" in loaded) != (ts.rnd is not None):
+            raise ValueError(
+                f"Checkpoint {path!r} and this runner disagree on RND"
+                f" (checkpoint {'has' if 'rnd' in loaded else 'lacks'} RND"
+                " state); construct the runner with the matching"
+                " `rnd_cfg` in the algorithm config."
             )
         loaded = restore_typed(
             loaded,
