@@ -24,10 +24,10 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import jax.numpy as jnp
 
 from rsl_rl_tpu.runners import OnPolicyRunner
 from rsl_rl_tpu.utils.config import load_train_cfg
+from rsl_rl_tpu.utils.evaluation import evaluate_policy
 from rsl_rl_tpu.utils.registry import resolve
 
 # matches examples/train_pendulum.py — used when --config is not given
@@ -47,45 +47,6 @@ DEFAULT_CFG = {
     },
     "algorithm": {"class_name": "PPO"},
 }
-
-
-def evaluate(env, policy, ps, num_steps: int, key, random_actions: bool = False):
-    """Jitted evaluation rollout.
-
-    Returns ``(returns_sum, returns_count, running_cum)`` where
-    ``returns_sum / returns_count`` is the mean completed-episode return.
-    """
-
-    def program(key):
-        k_reset, k_act = jax.random.split(key)
-        state, obs = env.reset(k_reset)
-        carry0 = policy.initial_carry(env.num_envs)
-        cum0 = jnp.zeros((env.num_envs,), jnp.float32)
-
-        def step(c, k):
-            state, obs, pcarry, cum, r_sum, r_cnt, r_min, r_max = c
-            if random_actions:
-                action = jax.random.normal(k, (env.num_envs, env.num_actions))
-            else:
-                action, pcarry = policy.act_inference(ps, obs, pcarry)
-            state, obs, rew, done, _ = env.step(state, action)
-            cum = cum + rew
-            r_sum = r_sum + jnp.sum(jnp.where(done, cum, 0.0))
-            r_cnt = r_cnt + jnp.sum(done)
-            r_min = jnp.minimum(r_min, jnp.where(done, cum, jnp.inf).min())
-            r_max = jnp.maximum(r_max, jnp.where(done, cum, -jnp.inf).max())
-            cum = jnp.where(done, 0.0, cum)
-            pcarry = policy.reset_carry(pcarry, done)
-            return (state, obs, pcarry, cum, r_sum, r_cnt, r_min, r_max), None
-
-        zero = jnp.zeros((), jnp.float32)
-        init = (state, obs, carry0, cum0, zero, zero,
-                jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(-jnp.inf, jnp.float32))
-        (final, _) = jax.lax.scan(step, init, jax.random.split(k_act, num_steps))
-        _, _, _, _, r_sum, r_cnt, r_min, r_max = final
-        return r_sum, r_cnt, r_min, r_max
-
-    return jax.device_get(jax.jit(program)(key))
 
 
 def main() -> None:
@@ -113,22 +74,22 @@ def main() -> None:
 
     policy, ps = runner.alg.policy, runner.train_state.policy
     key = jax.random.PRNGKey(args.seed)
-    r_sum, r_cnt, r_min, r_max = evaluate(env, policy, ps, args.steps, key)
-    if r_cnt == 0:
+    m = evaluate_policy(env, policy, ps, args.steps, key)
+    if m["Eval/episode_count"] == 0:
         print(f"no episode completed within {args.steps} steps — increase --steps")
         return
     print(
-        f"policy : {int(r_cnt)} episodes | mean return {r_sum / r_cnt:10.2f}"
-        f" | min {r_min:10.2f} | max {r_max:10.2f}"
+        f"policy : {int(m['Eval/episode_count'])} episodes | mean return"
+        f" {m['Eval/mean_reward']:10.2f} | min {m['Eval/min_return']:10.2f}"
+        f" | max {m['Eval/max_return']:10.2f}"
     )
     if not args.no_baseline:
-        b_sum, b_cnt, b_min, b_max = evaluate(
-            env, policy, ps, args.steps, key, random_actions=True
-        )
-        if b_cnt > 0:
+        b = evaluate_policy(env, policy, ps, args.steps, key, random_actions=True)
+        if b["Eval/episode_count"] > 0:
             print(
-                f"random : {int(b_cnt)} episodes | mean return {b_sum / b_cnt:10.2f}"
-                f" | min {b_min:10.2f} | max {b_max:10.2f}"
+                f"random : {int(b['Eval/episode_count'])} episodes | mean return"
+                f" {b['Eval/mean_reward']:10.2f} | min {b['Eval/min_return']:10.2f}"
+                f" | max {b['Eval/max_return']:10.2f}"
             )
 
 

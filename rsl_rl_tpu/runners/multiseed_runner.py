@@ -139,6 +139,8 @@ class MultiSeedRunner:
             self.save(
                 os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt")
             )
+        if self.writer is not None:
+            self.writer.flush()
 
     # ---------------------------------------------------------------- logging
 

@@ -273,6 +273,32 @@ class OnPolicyRunner:
                 functools.partial(_k_iterations, k=k), donate_argnums=(0,)
             )
 
+        # Periodic deterministic evaluation (no reference counterpart — its
+        # users hand-roll play scripts on top of get_inference_policy,
+        # reference on_policy_runner.py:326-330): cfg "eval_interval": N
+        # rolls a FRESH env copy with act_inference every N iterations as one
+        # jitted lax.scan program and logs Eval/* scalars. "eval_num_steps"
+        # bounds the rollout (default: the env's max episode length, so every
+        # eval env can complete at least one episode).
+        self.eval_interval = int(self.cfg.get("eval_interval", 0))
+        if self.eval_interval > 0:
+            if not self.is_jax_env:
+                raise ValueError(
+                    "eval_interval requires a JAX-native env: host envs cannot"
+                    " roll a second env copy inside a jitted program (evaluate"
+                    " host-env policies offline, e.g. examples/play.py)."
+                )
+            from rsl_rl_tpu.utils.evaluation import make_eval_program
+
+            default_steps = int(np.max(np.asarray(env.max_episode_length)))
+            eval_steps = int(self.cfg.get("eval_num_steps", default_steps))
+            self._eval_prog = jax.jit(
+                make_eval_program(env, self.alg.policy, eval_steps)
+            )
+            # fold_in rather than split: the eval stream must not perturb the
+            # training streams (turning eval on cannot change training math)
+            self._eval_key = jax.random.fold_in(self._key, 0xEA1)
+
         # On the CPU backend with >1 device, unbounded async dispatch of
         # programs containing cross-partition collectives can deadlock: the
         # client's execution thread pool fills with executions whose partner
@@ -395,6 +421,8 @@ class OnPolicyRunner:
                 self._log(it, start_iter, tot_iter, metrics, collection_time, learn_time)
                 if it % self.save_interval == 0:
                     self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
+                if self.eval_interval and it % self.eval_interval == 0:
+                    self._run_eval(it)
             if it == start_iter and self.log_dir is not None and not self.disable_logs:
                 git_file_paths = store_code_state(self.log_dir, self.git_status_repos)
                 if self.logger_type in ["wandb", "neptune"] and git_file_paths:
@@ -403,6 +431,8 @@ class OnPolicyRunner:
 
         if self.log_dir is not None and not self.disable_logs:
             self.save(os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt"))
+        if self.writer is not None:
+            self.writer.flush()
 
     def _learn_k_dispatch(self, start_iter: int, tot_iter: int, trace_window) -> None:
         """K-iterations-per-program training: ``lax.scan`` over K fused
@@ -440,6 +470,7 @@ class OnPolicyRunner:
                 self._trace_active = False
 
             save_due = False
+            eval_due = False
             for j in range(k):
                 self.current_learning_iteration = it + j
                 metrics = {key: float(v[j]) for key, v in ms.items()}
@@ -447,10 +478,16 @@ class OnPolicyRunner:
                     self._log(it + j, start_iter, tot_iter, metrics, elapsed / k, 0.0)
                     if (it + j) % self.save_interval == 0:
                         save_due = True
+                    if self.eval_interval and (it + j) % self.eval_interval == 0:
+                        eval_due = True
             if save_due and self.log_dir is not None and not self.disable_logs:
                 self.save(
                     os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt")
                 )
+            if eval_due and self.log_dir is not None and not self.disable_logs:
+                # device state only exists at dispatch-group boundaries, so
+                # the eval reflects the group's final parameters
+                self._run_eval(self.current_learning_iteration)
             if first_group and self.log_dir is not None and not self.disable_logs:
                 git_file_paths = store_code_state(self.log_dir, self.git_status_repos)
                 if self.logger_type in ["wandb", "neptune"] and git_file_paths:
@@ -461,8 +498,41 @@ class OnPolicyRunner:
 
         if self.log_dir is not None and not self.disable_logs:
             self.save(os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt"))
+        if self.writer is not None:
+            self.writer.flush()
 
     # --------------------------------------------------------------- logging
+
+    def _run_eval(self, it: int) -> None:
+        """One deterministic evaluation rollout (fresh envs, ``act_inference``
+        actions); logs ``Eval/*`` scalars. The eval key is derived per
+        iteration from a stream independent of training, so results are
+        reproducible and training numerics are unaffected."""
+        m = jax.device_get(
+            self._eval_prog(
+                self.train_state.policy, jax.random.fold_in(self._eval_key, it)
+            )
+        )
+        count = float(m["Eval/episode_count"])
+        self.writer.add_scalar("Eval/episode_count", count, it)
+        if count > 0:
+            for key in (
+                "Eval/mean_reward",
+                "Eval/mean_episode_length",
+                "Eval/min_return",
+                "Eval/max_return",
+            ):
+                self.writer.add_scalar(key, float(m[key]), it)
+            print(
+                f"Evaluation at iteration {it}: mean return"
+                f" {float(m['Eval/mean_reward']):.2f} over {int(count)}"
+                f" episodes (deterministic policy)"
+            )
+        else:
+            print(
+                f"Evaluation at iteration {it}: no episode completed within"
+                " the eval budget (raise eval_num_steps)"
+            )
 
     def _episode_window_stats(self, metrics: dict) -> tuple[float, float, float, float, float]:
         """Maintain an ~100-episode trailing window from per-iteration

@@ -43,6 +43,12 @@ class TensorBoardWriter:
     def save_file(self, path: str) -> None:
         pass
 
+    def flush(self) -> None:
+        """Force buffered events to disk (the SummaryWriter otherwise flushes
+        on its ``flush_secs`` timer); called when a ``learn()`` returns so
+        short runs leave complete event files."""
+        self.writer.flush()
+
     def stop(self) -> None:
         self.writer.close()
 

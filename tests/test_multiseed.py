@@ -155,6 +155,33 @@ class TestMultiSeedRunner:
         with pytest.raises(ValueError, match="seeds"):
             other.load(path)
 
+    def test_rnd_mismatch_rejected(self, tmp_path):
+        """A checkpoint saved without RND state must fail a load into an
+        RND-configured runner with a named error, not a bare KeyError."""
+        import copy
+
+        import pytest
+
+        from rsl_rl_tpu.env import Pendulum
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        runner = self._runner(str(tmp_path))
+        runner.learn(1)
+        path = os.path.join(str(tmp_path), "snap.ckpt")
+        runner.save(path)
+        cfg = copy.deepcopy(self.CFG)
+        cfg["algorithm"]["rnd_cfg"] = {
+            "weight": 0.5,
+            "num_outputs": 4,
+            "predictor_hidden_dims": [-1],
+            "target_hidden_dims": [-1],
+        }
+        other = MultiSeedRunner(
+            Pendulum(num_envs=8, max_episode_length=16), cfg, num_seeds=3,
+        )
+        with pytest.raises(ValueError, match="RND"):
+            other.load(path)
+
     def test_save_seed_loads_into_single_runner(self, tmp_path):
         from rsl_rl_tpu.env import Pendulum
         from rsl_rl_tpu.runners import OnPolicyRunner
