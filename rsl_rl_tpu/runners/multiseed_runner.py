@@ -97,6 +97,21 @@ class MultiSeedRunner:
             )
             self.train_state, self.collect_state = init(key_init)
 
+        # periodic deterministic evaluation, vmapped over the seed axis:
+        # cfg "eval_interval"/"eval_num_steps", same contract as
+        # OnPolicyRunner; logs cross-seed mean/std/best of the per-seed
+        # deterministic returns (Eval/* scalars)
+        self.eval_interval = int(self.cfg.get("eval_interval", 0))
+        if self.eval_interval > 0:
+            from rsl_rl_tpu.utils.evaluation import make_eval_program
+
+            default_steps = int(np.max(np.asarray(env.max_episode_length)))
+            eval_steps = int(self.cfg.get("eval_num_steps", default_steps))
+            self._eval_prog = jax.jit(
+                jax.vmap(make_eval_program(env, self.alg.policy, eval_steps))
+            )
+            self._eval_key = jax.random.fold_in(self._key, 0xEA1)
+
         self.writer = None
         self.logger_type = self.cfg.get("logger", "tensorboard")
         self.current_learning_iteration = 0
@@ -134,6 +149,8 @@ class MultiSeedRunner:
                 self._log(it, m, iteration_time)
                 if it % self.save_interval == 0:
                     self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
+                if self.eval_interval and it % self.eval_interval == 0:
+                    self._run_eval(it)
 
         if self.log_dir is not None:
             self.save(
@@ -143,6 +160,37 @@ class MultiSeedRunner:
             self.writer.flush()
 
     # ---------------------------------------------------------------- logging
+
+    def _run_eval(self, it: int) -> None:
+        """Vmapped deterministic evaluation: every seed rolls its OWN fresh
+        env copy with its own policy in one batched program; logs cross-seed
+        aggregates of the per-seed mean returns."""
+        keys = jax.random.split(
+            jax.random.fold_in(self._eval_key, it), self.num_seeds
+        )
+        m = jax.device_get(self._eval_prog(self.train_state.policy, keys))
+        counts = np.asarray(m["Eval/episode_count"])
+        self.writer.add_scalar("Eval/episode_count", float(counts.sum()), it)
+        if (counts > 0).all():
+            rew = np.asarray(m["Eval/mean_reward"])
+            length = np.asarray(m["Eval/mean_episode_length"])
+            self.writer.add_scalar("Eval/mean_reward", float(rew.mean()), it)
+            self.writer.add_scalar("Eval/mean_reward_std", float(rew.std()), it)
+            self.writer.add_scalar("Eval/best_seed_reward", float(rew.max()), it)
+            self.writer.add_scalar(
+                "Eval/mean_episode_length", float(length.mean()), it
+            )
+            print(
+                f"Evaluation at iteration {it}: mean return {rew.mean():.2f}"
+                f" ± {rew.std():.2f} over {self.num_seeds} seeds"
+                " (deterministic policy)"
+            )
+        else:
+            print(
+                f"Evaluation at iteration {it}:"
+                f" {int((counts == 0).sum())}/{self.num_seeds} seeds completed"
+                " no episode within the eval budget (raise eval_num_steps)"
+            )
 
     def _window_stats(self, m) -> tuple[np.ndarray, np.ndarray, float]:
         """Per-seed trailing ~100-episode reward/length means."""

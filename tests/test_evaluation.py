@@ -125,3 +125,31 @@ class TestRunnerEvalInterval:
                 self._cfg(eval_interval=2),
                 log_dir=None,
             )
+
+
+class TestMultiSeedEval:
+    def test_vmapped_eval_scalars_written(self, tmp_path):
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        env = PointMass(num_envs=8, max_episode_length=16)
+        cfg = _runner_cfg(
+            obs_groups={"policy": ["policy"], "critic": ["policy"]},
+            num_steps_per_env=8,
+            eval_interval=2,
+        )
+        runner = MultiSeedRunner(env, cfg, num_seeds=2, log_dir=str(tmp_path))
+        runner.learn(3)
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator,
+        )
+
+        acc = EventAccumulator(str(tmp_path))
+        acc.Reload()
+        tags = acc.Tags()["scalars"]
+        assert "Eval/mean_reward" in tags
+        assert "Eval/mean_reward_std" in tags
+        assert "Eval/best_seed_reward" in tags
+        # 16-step episodes, eval budget = max episode length: both seeds'
+        # 8 envs each complete exactly one episode per eval
+        counts = [s.value for s in acc.Scalars("Eval/episode_count")]
+        assert all(c == 16.0 for c in counts)
