@@ -36,6 +36,14 @@ class HostVecEnv(abc.ABC):
     max_episode_length: int
     cfg: Any = None
 
+    #: Optional per-env elapsed-step counter. Isaac-style simulators expose
+    #: this as a writable buffer (reference env/vec_env.py:35); when present
+    #: (not None), ``OnPolicyRunner.learn(init_at_random_ep_len=True)``
+    #: randomizes it in place exactly like the reference
+    #: (reference runners/on_policy_runner.py:66-69). Envs without the buffer
+    #: leave it None and the runner warns instead.
+    episode_length_buf: np.ndarray | None = None
+
     @abc.abstractmethod
     def reset(self, seed: int | None = None) -> dict[str, np.ndarray]:
         """Reset all envs; returns the obs-group dict."""

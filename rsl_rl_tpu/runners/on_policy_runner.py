@@ -363,9 +363,22 @@ class OnPolicyRunner:
                 self._key, k = jax.random.split(self._key)
                 env_state = self.env.randomize_episode_length(self.collect_state.env_state, k)
                 self.collect_state = self.collect_state.replace(env_state=env_state)
+            elif getattr(self.env, "episode_length_buf", None) is not None:
+                # Isaac-style host simulators expose a writable elapsed-step
+                # buffer; randomize it in place exactly like the reference
+                # (reference runners/on_policy_runner.py:66-69).
+                self._key, k = jax.random.split(self._key)
+                buf = np.asarray(self.env.episode_length_buf)
+                self.env.episode_length_buf = np.array(  # copy: jax arrays are read-only
+                    jax.random.randint(
+                        k, buf.shape, 0, int(np.max(self.env.max_episode_length))
+                    ),
+                    dtype=buf.dtype,
+                )
             else:
                 warnings.warn(
-                    "init_at_random_ep_len is not supported for host environments; ignoring."
+                    "init_at_random_ep_len requires the host env to expose an"
+                    " episode_length_buf (reference env/vec_env.py:35); ignoring."
                 )
 
         # optional jax.profiler trace window (SURVEY.md §5.1 TPU equivalent of

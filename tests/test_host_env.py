@@ -114,6 +114,50 @@ class TestHostTraining:
         assert total_eps >= 16  # all 16 envs completed an episode
 
 
+class _CountingHostEnv:
+    """Minimal Isaac-style host env exposing a writable episode_length_buf
+    (reference env/vec_env.py:35)."""
+
+    is_jax = False
+
+    def __init__(self, num_envs=8):
+        self.num_envs = num_envs
+        self.num_actions = 1
+        self.max_episode_length = 50
+        self.cfg = {}
+        self.episode_length_buf = np.zeros(num_envs, np.int32)
+
+    def reset(self, seed=None):
+        self.episode_length_buf[:] = 0
+        return {"policy": np.zeros((self.num_envs, 3), np.float32)}
+
+    def step(self, actions):
+        self.episode_length_buf += 1
+        dones = self.episode_length_buf >= self.max_episode_length
+        self.episode_length_buf = np.where(dones, 0, self.episode_length_buf)
+        obs = {"policy": np.zeros((self.num_envs, 3), np.float32)}
+        return obs, np.zeros(self.num_envs, np.float32), dones, {"time_outs": dones}
+
+
+class TestInitAtRandomEpLen:
+    def test_randomizes_exposed_buffer(self, tmp_path):
+        """learn(init_at_random_ep_len=True) must scatter episode_length_buf
+        in [0, max_episode_length) like reference on_policy_runner.py:66-69."""
+        env = _CountingHostEnv(num_envs=64)
+        cfg = _cfg(num_steps_per_env=4)
+        runner = OnPolicyRunner(env, cfg, log_dir=str(tmp_path))
+        runner.learn(1, init_at_random_ep_len=True)
+        # the buffer advanced 4 steps from the randomized start; with 64 envs
+        # over [0, 50) the starts cannot all coincide
+        assert env.episode_length_buf.dtype == np.int32
+        assert len(np.unique(env.episode_length_buf)) > 1
+
+    def test_warns_without_buffer(self, pendulum_env, tmp_path):
+        runner = OnPolicyRunner(pendulum_env, _cfg(num_steps_per_env=4), log_dir=str(tmp_path))
+        with pytest.warns(UserWarning, match="episode_length_buf"):
+            runner.learn(1, init_at_random_ep_len=True)
+
+
 class TestAutoresetModeGate:
     def test_next_step_autoreset_rejected(self):
         """Gymnasium's default NEXT_STEP autoreset corrupts episode-boundary
