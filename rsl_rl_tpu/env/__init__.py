@@ -5,6 +5,7 @@ from rsl_rl_tpu.env.cartpole import CartPoleSwingUp
 from rsl_rl_tpu.env.hopper import Hopper
 from rsl_rl_tpu.env.host_env import GymVecEnv, HostVecEnv
 from rsl_rl_tpu.env.mjx_env import MJXEnv
+from rsl_rl_tpu.env.mujoco_host import MuJoCoNLinkEnv
 from rsl_rl_tpu.env.nlink import NLinkPendulum
 from rsl_rl_tpu.env.pendulum import (
     PartiallyObservablePendulum,
@@ -27,6 +28,7 @@ __all__ = [
     "HostVecEnv",
     "GymVecEnv",
     "MJXEnv",
+    "MuJoCoNLinkEnv",
     "NLinkPendulum",
     "Hopper",
     "SparseGoalReach",
