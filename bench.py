@@ -44,7 +44,7 @@ TRIALS = 3  # best-of-3 timed loops; the tunneled backend is noisy
 NORTH_STAR = 5_000_000.0  # env-steps/s aggregate on v4-16 (BASELINE.json:5)
 
 
-def _build(env, recurrent: bool = False, dtype=None):
+def _build(env, recurrent: bool = False, dtype=None, num_mini_batches: int = 4):
     from rsl_rl_tpu.algorithms.ppo import PPO
     from rsl_rl_tpu.modules import ActorCritic, ActorCriticRecurrent
     from rsl_rl_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_tree
@@ -78,7 +78,7 @@ def _build(env, recurrent: bool = False, dtype=None):
             critic_obs_normalization=True,
             dtype=dtype,
         )
-    ppo = PPO(policy, num_learning_epochs=5, num_mini_batches=4)
+    ppo = PPO(policy, num_learning_epochs=5, num_mini_batches=num_mini_batches)
     ts = ppo.init_train_state(jax.random.PRNGKey(1), env.num_envs)
     cs = ppo.init_collect_state(jax.random.PRNGKey(2), env)
     if len(jax.devices()) > 1:
@@ -88,9 +88,11 @@ def _build(env, recurrent: bool = False, dtype=None):
     return ppo, ts, cs
 
 
-def measure(env, recurrent: bool = False, dtype=None) -> dict:
+def measure(env, recurrent: bool = False, dtype=None, num_mini_batches: int = 4) -> dict:
     """Returns {"steps_per_s", "collect_s", "learn_s"} for one workload."""
-    ppo, ts, cs = _build(env, recurrent=recurrent, dtype=dtype)
+    ppo, ts, cs = _build(
+        env, recurrent=recurrent, dtype=dtype, num_mini_batches=num_mini_batches
+    )
     collect = ppo.make_collect_fn(env, NUM_STEPS)
     update = ppo.make_update_fn()
 
