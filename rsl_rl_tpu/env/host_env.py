@@ -39,9 +39,11 @@ class HostVecEnv(abc.ABC):
     #: Optional per-env elapsed-step counter. Isaac-style simulators expose
     #: this as a writable buffer (reference env/vec_env.py:35); when present
     #: (not None), ``OnPolicyRunner.learn(init_at_random_ep_len=True)``
-    #: randomizes it in place exactly like the reference
-    #: (reference runners/on_policy_runner.py:66-69). Envs without the buffer
-    #: leave it None and the runner warns instead.
+    #: randomizes it (reference runners/on_policy_runner.py:66-69): written
+    #: IN PLACE when it is a writable ndarray (a view into sim state sees the
+    #: write), otherwise the attribute is replaced — envs exposing a foreign
+    #: buffer type must re-read the attribute each step. Envs without the
+    #: buffer leave it None and the runner warns instead.
     episode_length_buf: np.ndarray | None = None
 
     @abc.abstractmethod

@@ -95,6 +95,41 @@ def _vmem_footprint_bytes(batch: int, hidden: int, gates: int) -> int:
     return 4 * (carry_scratch + weight_blocks + streamed)
 
 
+def _under_vmap_raw() -> bool:
+    """Walk the ambient trace stack for a ``BatchTrace``. Uses jax internals
+    (``jax._src.core.trace_ctx``) — callers must go through
+    :func:`under_vmap`, which functionally verifies this walk against the
+    running jax version first."""
+    trace = jax._src.core.trace_ctx.trace  # type: ignore[attr-defined]
+    while trace is not None:
+        if type(trace).__name__ == "BatchTrace":
+            return True
+        trace = getattr(trace, "parent_trace", None)
+    return False
+
+
+_INTROSPECTION_OK: bool | None = None  # lazily verified once per process
+
+
+def _verify_trace_introspection() -> bool:
+    """Functional self-test of the private-API walk: it must report True
+    inside a real ``jax.vmap`` trace and False outside. A jax upgrade that
+    moves ``trace_ctx`` or renames ``BatchTrace`` fails this loudly ONCE
+    (warning below) instead of silently misrouting kernels forever."""
+    seen = {"inside": False}
+
+    def probe(x):
+        seen["inside"] = _under_vmap_raw()
+        return x
+
+    try:
+        jax.vmap(probe)(jnp.zeros((2,), jnp.float32))
+        outside = _under_vmap_raw()
+    except Exception:
+        return False
+    return seen["inside"] and not outside
+
+
 def under_vmap() -> bool:
     """True when tracing under a ``jax.vmap`` transform.
 
@@ -106,29 +141,32 @@ def under_vmap() -> bool:
     types is not enough — inside the PPO loss the arrays are grad-trace
     tracers wrapping the batch trace — so walk the ambient trace stack for a
     ``BatchTrace`` (type-name match keeps this robust across jax module
-    moves)."""
-    try:
-        trace = jax._src.core.trace_ctx.trace  # type: ignore[attr-defined]
-    except AttributeError:  # pragma: no cover - jax moved the API: be safe
-        # conservative True keeps correctness (xproj cores serve every
-        # caller) at a known perf cost — surface it instead of hiding it.
-        # tests/test_multiseed.py::test_under_vmap_detection also fails on
-        # such a jax upgrade, since it pins False outside vmap.
-        import warnings
+    moves).
 
-        warnings.warn(
-            "pallas_rnn.under_vmap: jax trace-stack introspection failed"
-            " (jax internals moved); x-streaming/paired RNN kernels are"
-            " disabled, falling back to the xproj cores.",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+    The walk relies on jax internals, so its behavior is verified
+    functionally once per process (:func:`_verify_trace_introspection`);
+    if the running jax version breaks it, every caller conservatively gets
+    True (the xproj cores serve every caller correctly, at a known perf
+    cost) and ONE loud warning is emitted.
+    tests/test_multiseed.py::test_under_vmap_detection pins the verified
+    path end-to-end."""
+    global _INTROSPECTION_OK
+    if _INTROSPECTION_OK is None:
+        _INTROSPECTION_OK = _verify_trace_introspection()
+        if not _INTROSPECTION_OK:
+            import warnings
+
+            warnings.warn(
+                "pallas_rnn.under_vmap: jax trace-stack introspection failed"
+                " its self-test (jax internals moved in this jax version);"
+                " x-streaming/paired RNN kernels are disabled, falling back"
+                " to the (slower, always-correct) xproj cores.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    if not _INTROSPECTION_OK:
         return True
-    while trace is not None:
-        if type(trace).__name__ == "BatchTrace":
-            return True
-        trace = getattr(trace, "parent_trace", None)
-    return False
+    return _under_vmap_raw()
 
 
 def supports_pallas_rnn(batch: int, hidden: int, rnn_type: str = "lstm") -> bool:
@@ -712,6 +750,14 @@ def gru_sequence(
 #   c' = f*c + i*g                       h' = o * tanh(c')
 #
 # with (c, h) pre-masked to zero where resets[t] is set.
+#
+# Measured roofline (v5e, benchmarks/roofline_rnn.py, learn shape T=24
+# B=1024 H=256 D=15): paired fwd+bwd 1668 us fp32 / 1592 us bf16 — 1.31x
+# the paired GRU at identical achieved TFLOP/s, i.e. exactly the 4/3 gate
+# ratio; the LSTM's extra cs stream costs nothing measurable beyond it.
+# BB=512 is optimal (1684/1719 us at 256/128), same as the GRU's pick
+# above. Conclusion: gate-count-bound relative to the GRU; bf16 operands
+# are the remaining knob (+4.7% on the full recurrent iteration).
 # --------------------------------------------------------------------------
 
 

@@ -21,17 +21,25 @@ from __future__ import annotations
 
 import os
 import time
+import warnings
 from collections import deque
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+import rsl_rl_tpu
 from rsl_rl_tpu.modules.rnd import resolve_rnd_config
 from rsl_rl_tpu.modules.symmetry import resolve_symmetry_config
 from rsl_rl_tpu.runners.multiseed import make_multiseed_train
 from rsl_rl_tpu.runners.pbt import make_pbt_train
-from rsl_rl_tpu.utils.checkpoint import load_checkpoint, restore_typed, save_checkpoint
+from rsl_rl_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    restore_typed,
+    save_checkpoint,
+)
+from rsl_rl_tpu.utils.git_state import store_code_state
 from rsl_rl_tpu.utils.registry import resolve
 from rsl_rl_tpu.utils.resolvers import resolve_obs_groups
 from rsl_rl_tpu.utils.writers import make_writer
@@ -103,6 +111,17 @@ class MultiSeedRunner:
         # deterministic returns (Eval/* scalars)
         self.eval_interval = int(self.cfg.get("eval_interval", 0))
         if self.eval_interval > 0:
+            if log_dir is None:
+                # same guard as OnPolicyRunner: learn() gates evaluation on a
+                # writer existing, so a log_dir-less run would silently build
+                # the eval program and never use it
+                warnings.warn(
+                    "eval_interval is set but log_dir is None: Eval/* scalars"
+                    " have nowhere to go and evaluation will not run. Pass a"
+                    " log_dir to enable periodic evaluation.",
+                    UserWarning,
+                    stacklevel=2,
+                )
             from rsl_rl_tpu.utils.evaluation import make_eval_program
 
             default_steps = int(np.max(np.asarray(env.max_episode_length)))
@@ -112,23 +131,38 @@ class MultiSeedRunner:
             )
             self._eval_key = jax.random.fold_in(self._key, 0xEA1)
 
+        # K-iterations-per-dispatch (same cfg key and semantics as
+        # OnPolicyRunner): lax.scan over the vmapped train step — the K-scan
+        # composes with the seed-vmap for free
+        self.iterations_per_dispatch = int(self.cfg.get("iterations_per_dispatch", 1))
+        self._k_programs: dict[int, object] = {}
+
         self.writer = None
         self.logger_type = self.cfg.get("logger", "tensorboard")
         self.current_learning_iteration = 0
         self.tot_timesteps = 0
         self.tot_time = 0.0
+        self.git_status_repos: list[str] = [rsl_rl_tpu.__file__]
         # per-seed ~100-episode trailing windows (numpy [S] tuples)
         self._ep_window: deque = deque()
 
     # ------------------------------------------------------------------ train
 
     def learn(self, num_learning_iterations: int) -> None:
-        if self.log_dir is not None and self.writer is None:
-            self.writer = make_writer(self.logger_type, self.log_dir, self.cfg)
+        self._prepare_logging_writer()
+        # jax.profiler trace window, same cfg contract as OnPolicyRunner:
+        # "profiler_trace_iterations": [first, last]
+        trace_window = self.cfg.get("profiler_trace_iterations")
 
         start_iter = self.current_learning_iteration
         tot_iter = start_iter + num_learning_iterations
+        if self.iterations_per_dispatch > 1:
+            self._learn_k_dispatch(start_iter, tot_iter, trace_window)
+            return
         for it in range(start_iter, tot_iter):
+            if trace_window and it == trace_window[0] and self.log_dir:
+                jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
+                self._trace_active = True
             start = time.time()
             if self.pbt_state is not None:
                 ts, cs, self.pbt_state, m = self._train_step(
@@ -140,6 +174,10 @@ class MultiSeedRunner:
             iteration_time = time.time() - start
             self.train_state, self.collect_state = ts, cs
             self.current_learning_iteration = it
+            # resume-safe stop guard: only stop a trace THIS run started
+            if trace_window and it == trace_window[1] and getattr(self, "_trace_active", False):
+                jax.profiler.stop_trace()
+                self._trace_active = False
 
             self.tot_timesteps += (
                 self.num_steps_per_env * self.env.num_envs * self.num_seeds
@@ -151,13 +189,125 @@ class MultiSeedRunner:
                     self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
                 if self.eval_interval and it % self.eval_interval == 0:
                     self._run_eval(it)
+            if it == start_iter and self.log_dir is not None:
+                self._store_git_state()
 
+        self._finish_learn()
+
+    def _learn_k_dispatch(self, start_iter: int, tot_iter: int, trace_window) -> None:
+        """K-iterations-per-program: ``lax.scan`` over the vmapped train step,
+        one dispatch + one metrics transfer per K iterations. Logging stays
+        per-iteration (from the stacked ``[K, S]`` metrics); checkpoints and
+        evaluation land at dispatch-group boundaries, where device state
+        exists (same contract as ``OnPolicyRunner._learn_k_dispatch``)."""
+        it = start_iter
+        first_group = True
+        while it < tot_iter:
+            k = min(self.iterations_per_dispatch, tot_iter - it)
+            if trace_window and it <= trace_window[0] < it + k and self.log_dir:
+                jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
+                self._trace_active = True
+            start = time.time()
+            prog = self._k_programs.get(k)
+            if prog is None:
+                prog = self._k_programs[k] = self._make_k_program(k)
+            if self.pbt_state is not None:
+                ts, cs, self.pbt_state, ms = prog(
+                    self.train_state, self.collect_state, self.pbt_state
+                )
+            else:
+                ts, cs, ms = prog(self.train_state, self.collect_state)
+            ms = jax.device_get(ms)
+            elapsed = time.time() - start
+            self.train_state, self.collect_state = ts, cs
+            if trace_window and it <= trace_window[1] < it + k and getattr(self, "_trace_active", False):
+                jax.profiler.stop_trace()
+                self._trace_active = False
+
+            save_due = eval_due = False
+            for j in range(k):
+                self.current_learning_iteration = it + j
+                self.tot_timesteps += (
+                    self.num_steps_per_env * self.env.num_envs * self.num_seeds
+                )
+                self.tot_time += elapsed / k
+                if self.log_dir is not None:
+                    self._log(it + j, {key: v[j] for key, v in ms.items()}, elapsed / k)
+                    save_due = save_due or (it + j) % self.save_interval == 0
+                    eval_due = eval_due or (
+                        self.eval_interval and (it + j) % self.eval_interval == 0
+                    )
+            if save_due and self.log_dir is not None:
+                self.save(
+                    os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt")
+                )
+            if eval_due and self.log_dir is not None:
+                self._run_eval(self.current_learning_iteration)
+            if first_group and self.log_dir is not None:
+                self._store_git_state()
+            first_group = False
+            it += k
+
+        self._finish_learn()
+
+    def _make_k_program(self, k: int):
+        """Jit a ``lax.scan`` of ``k`` train steps (PBT carries its state)."""
+        step = self._train_step
+        if self.pbt_state is not None:
+
+            @jax.jit
+            def k_steps(ts, cs, pbt):
+                def body(carry, _):
+                    ts, cs, pbt = carry
+                    ts, cs, pbt, m = step(ts, cs, pbt)
+                    return (ts, cs, pbt), m
+
+                (ts, cs, pbt), ms = jax.lax.scan(body, (ts, cs, pbt), None, length=k)
+                return ts, cs, pbt, ms
+
+            return k_steps
+
+        @jax.jit
+        def k_steps(ts, cs):
+            def body(carry, _):
+                ts, cs = carry
+                ts, cs, m = step(ts, cs)
+                return (ts, cs), m
+
+            (ts, cs), ms = jax.lax.scan(body, (ts, cs), None, length=k)
+            return ts, cs, ms
+
+        return k_steps
+
+    def _finish_learn(self) -> None:
         if self.log_dir is not None:
             self.save(
                 os.path.join(self.log_dir, f"model_{self.current_learning_iteration}.ckpt")
             )
         if self.writer is not None:
             self.writer.flush()
+
+    def _prepare_logging_writer(self) -> None:
+        """Same writer bootstrap as OnPolicyRunner: W&B/Neptune get the full
+        config uploaded once (reference wandb_utils.py:48-55)."""
+        if self.log_dir is not None and self.writer is None:
+            self.writer = make_writer(self.logger_type, self.log_dir, self.cfg)
+            if self.logger_type in ("wandb", "neptune"):
+                self.writer.log_config(
+                    getattr(self.env, "cfg", {}), self.cfg, self.alg_cfg, self.policy_cfg
+                )
+
+    def _store_git_state(self) -> None:
+        """Reproducibility snapshot at the first learn() iteration (reference
+        on_policy_runner.py:165-171), uploaded to W&B/Neptune like the
+        single-seed runner."""
+        git_file_paths = store_code_state(self.log_dir, self.git_status_repos)
+        if self.logger_type in ("wandb", "neptune") and git_file_paths:
+            for path in git_file_paths:
+                self.writer.save_file(path)
+
+    def add_git_repo_to_log(self, repo_file_path: str) -> None:
+        self.git_status_repos.append(repo_file_path)
 
     # ---------------------------------------------------------------- logging
 
@@ -285,6 +435,21 @@ class MultiSeedRunner:
         if self.pbt_state is not None:
             state["pbt"] = self.pbt_state
         save_checkpoint(path, state)
+        if self.logger_type in ("wandb", "neptune") and self.writer is not None:
+            # model upload parity with OnPolicyRunner.save (reference
+            # on_policy_runner.py:303-305)
+            self.writer.save_model(path, self.current_learning_iteration)
+
+    def load_latest(self, log_dir: str | None = None) -> bool:
+        """Resume the study from the newest ``model_<it>.ckpt`` in ``log_dir``
+        (defaults to this runner's log dir). Returns False when no checkpoint
+        exists — the auto-resume hook for preempted pod jobs, same contract
+        as ``OnPolicyRunner.load_latest``."""
+        path = latest_checkpoint(log_dir or self.log_dir or "")
+        if path is None:
+            return False
+        self.load(path)
+        return True
 
     def load(self, path: str):
         """Bit-identical resume of the whole study."""

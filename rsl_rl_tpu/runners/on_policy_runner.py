@@ -288,6 +288,17 @@ class OnPolicyRunner:
                     " roll a second env copy inside a jitted program (evaluate"
                     " host-env policies offline, e.g. examples/play.py)."
                 )
+            if self.log_dir is None:
+                # learn() gates evaluation on a writer existing, so without a
+                # log_dir the eval program would be built but never run —
+                # surface that instead of silently doing nothing
+                warnings.warn(
+                    "eval_interval is set but log_dir is None: Eval/* scalars"
+                    " have nowhere to go and evaluation will not run. Pass a"
+                    " log_dir to enable periodic evaluation.",
+                    UserWarning,
+                    stacklevel=2,
+                )
             from rsl_rl_tpu.utils.evaluation import make_eval_program
 
             default_steps = int(np.max(np.asarray(env.max_episode_length)))
@@ -365,16 +376,30 @@ class OnPolicyRunner:
                 self.collect_state = self.collect_state.replace(env_state=env_state)
             elif getattr(self.env, "episode_length_buf", None) is not None:
                 # Isaac-style host simulators expose a writable elapsed-step
-                # buffer; randomize it in place exactly like the reference
+                # buffer; randomize it like the reference
                 # (reference runners/on_policy_runner.py:66-69).
                 self._key, k = jax.random.split(self._key)
-                buf = np.asarray(self.env.episode_length_buf)
-                self.env.episode_length_buf = np.array(  # copy: jax arrays are read-only
+                # decorrelate host-DP shards: every process consumes self._key
+                # in lock-step (one split), then folds its own index in — the
+                # same scheme env.reset uses, so shards don't share episode
+                # phases
+                k = jax.random.fold_in(k, jax.process_index())
+                buf = self.env.episode_length_buf
+                values = np.asarray(
                     jax.random.randint(
-                        k, buf.shape, 0, int(np.max(self.env.max_episode_length))
-                    ),
-                    dtype=buf.dtype,
+                        k, np.shape(buf), 0, int(np.max(self.env.max_episode_length))
+                    )
                 )
+                if isinstance(buf, np.ndarray) and buf.flags.writeable:
+                    # write THROUGH the attribute: an env exposing the buffer
+                    # as a view into its internal sim state must see the write
+                    buf[:] = values.astype(buf.dtype)
+                else:
+                    # read-only/foreign buffer: replace the attribute (the
+                    # env must re-read it each step, see HostVecEnv docs)
+                    self.env.episode_length_buf = values.astype(
+                        np.asarray(buf).dtype
+                    )
             else:
                 warnings.warn(
                     "init_at_random_ep_len requires the host env to expose an"

@@ -344,3 +344,123 @@ class TestMultiSeedRunnerConfigResolution:
             num_seeds=2,
         )
         runner.learn(1)
+
+
+class TestMultiSeedRunnerFeatureParity:
+    """MultiSeedRunner carries the full OnPolicyRunner feature set:
+    K-iterations-per-dispatch, load_latest auto-resume, git snapshot,
+    W&B config/model/diff uploads, profiler window, eval warning."""
+
+    def _runner(self, log_dir=None, **cfg_extra):
+        import copy
+
+        from rsl_rl_tpu.env import Pendulum
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        cfg = copy.deepcopy(TestMultiSeedRunner.CFG)
+        cfg.update(cfg_extra)
+        env = Pendulum(num_envs=8, max_episode_length=16)
+        return MultiSeedRunner(env, cfg, num_seeds=2, log_dir=log_dir)
+
+    def test_k_dispatch_matches_per_iteration(self):
+        params = {}
+        for extra in ({}, {"iterations_per_dispatch": 2}):
+            runner = self._runner(**extra)
+            runner.learn(5)  # 2 + 2 + 1: exercises the remainder program
+            params[bool(extra)] = jax.device_get(runner.train_state.policy.params)
+        for la, lb in zip(
+            jax.tree.leaves(params[False]), jax.tree.leaves(params[True])
+        ):
+            np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-7)
+
+    def test_k_dispatch_logs_saves_and_counts(self, tmp_path):
+        runner = self._runner(
+            str(tmp_path), iterations_per_dispatch=3, save_interval=4
+        )
+        runner.learn(6)
+        files = os.listdir(str(tmp_path))
+        assert any(f.startswith("events.out.tfevents") for f in files)
+        # iteration 4 hit the save boundary inside group [3..5] -> saved at
+        # the group end (5), plus the final save
+        assert "model_5.ckpt" in files
+        assert runner.current_learning_iteration == 5
+        assert runner.tot_timesteps == 6 * 8 * 8 * 2  # iters*steps*envs*seeds
+
+    def test_k_dispatch_pbt(self):
+        """The K-scan must also carry PBT state through the exchange."""
+        import copy
+
+        from rsl_rl_tpu.env import Pendulum
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        cfg = copy.deepcopy(TestMultiSeedRunner.CFG)
+        cfg["iterations_per_dispatch"] = 2
+        runner = MultiSeedRunner(
+            Pendulum(num_envs=8, max_episode_length=16),
+            cfg,
+            num_seeds=2,
+            pbt={"exploit_interval": 2},
+        )
+        runner.learn(4)
+        assert runner.pbt_state is not None
+
+    def test_load_latest_resumes_newest(self, tmp_path):
+        runner = self._runner(str(tmp_path))
+        runner.learn(3)  # saves model_0, model_2 (+ final model_2)
+        fresh = self._runner(str(tmp_path))
+        assert fresh.load_latest()
+        assert fresh.current_learning_iteration == runner.current_learning_iteration
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            jax.device_get(runner.train_state.policy.params),
+            jax.device_get(fresh.train_state.policy.params),
+        )
+
+    def test_load_latest_returns_false_when_empty(self, tmp_path):
+        runner = self._runner(str(tmp_path))
+        assert not runner.load_latest()
+
+    def test_git_snapshot_written(self, tmp_path):
+        runner = self._runner(str(tmp_path))
+        runner.learn(1)
+        git_dir = os.path.join(str(tmp_path), "git")
+        assert os.path.isdir(git_dir) and os.listdir(git_dir)
+
+    def test_wandb_config_model_and_diff_upload(self, tmp_path, monkeypatch):
+        """The W&B writer path gets config upload at construction, model
+        upload on save, and git-diff upload at the first iteration — parity
+        with OnPolicyRunner (reference wandb_utils.py:48-77)."""
+        import sys
+        import types
+
+        mod = types.ModuleType("wandb")
+        mod.logged = []
+        mod.saved = []
+        mod.run = types.SimpleNamespace(name="run-1")
+        mod.config = types.SimpleNamespace(
+            update=lambda d: mod.logged.append(("config", d))
+        )
+        mod.init = lambda **kw: mod.logged.append(("init", kw))
+        mod.log = lambda d, step=None: mod.logged.append(("log", d, step))
+        mod.save = lambda path, base_path=None: mod.saved.append(path)
+        mod.finish = lambda: mod.logged.append(("finish",))
+        monkeypatch.setitem(sys.modules, "wandb", mod)
+
+        runner = self._runner(
+            str(tmp_path), logger="wandb", wandb_project="proj"
+        )
+        runner.learn(2)
+        assert any(e[0] == "config" for e in mod.logged)
+        assert mod.saved  # model ckpt files + git diff registered
+        assert any("repo.diff" in p for p in mod.saved)
+
+    def test_profiler_window_writes_trace(self, tmp_path):
+        runner = self._runner(str(tmp_path), profiler_trace_iterations=[0, 1])
+        runner.learn(3)
+        assert os.path.isdir(os.path.join(str(tmp_path), "profile"))
+
+    def test_eval_without_logdir_warns(self):
+        import pytest
+
+        with pytest.warns(UserWarning, match="log_dir"):
+            self._runner(eval_interval=2)
