@@ -137,6 +137,35 @@ def collect_extras_logs(extras: dict) -> dict[str, jax.Array]:
     return {k: jnp.mean(jnp.asarray(v, jnp.float32)) for k, v in group.items()}
 
 
+#: Rows (env-steps) per minibatch at the measured update-throughput optimum
+#: (benchmarks/results/sweep_minibatches.json: at 4096 envs x 24 steps the
+#: 24.6k-row shape beats both halves and doubles; the README "Throughput"
+#: 16384-env study shows the same knee from the other side). ``"auto"``
+#: minibatch selection targets this.
+ROWS_PER_MINIBATCH_TARGET = 24576
+
+
+def resolve_num_mini_batches(
+    setting, num_steps: int, num_envs: int, recurrent: bool
+) -> int:
+    """Resolve ``num_mini_batches`` — integers pass through (the reference's
+    contract, reference config/example_config.yaml:36); ``"auto"`` picks the
+    smallest power-of-two count >= 4 that keeps every minibatch at or under
+    :data:`ROWS_PER_MINIBATCH_TARGET` rows, the measured TPU knee, subject
+    to divisibility (the recurrent generator slices the env axis, the
+    feedforward one flat rows)."""
+    if setting != "auto":
+        return int(setting)
+
+    def divides(n: int) -> bool:
+        return (num_envs % n == 0) if recurrent else ((num_steps * num_envs) % n == 0)
+
+    nb = 4
+    while num_steps * num_envs // nb > ROWS_PER_MINIBATCH_TARGET and divides(nb * 2):
+        nb *= 2
+    return nb
+
+
 @register("algorithm")
 class PPO:
     """Clipped-surrogate PPO with adaptive-KL LR, RND and symmetry support."""
@@ -145,7 +174,7 @@ class PPO:
         self,
         policy,
         num_learning_epochs: int = 5,
-        num_mini_batches: int = 4,
+        num_mini_batches: int | str = 4,  # int, or "auto" (measured TPU knee)
         clip_param: float = 0.2,
         gamma: float = 0.99,
         lam: float = 0.95,
@@ -479,7 +508,11 @@ class PPO:
             rng, key_perm = jax.random.split(ts.rng)
             ts = ts.replace(rng=rng)
 
-            nb = N // self.num_mini_batches
+            # "auto" resolves here, where the rollout shape is concrete
+            num_mini_batches = resolve_num_mini_batches(
+                self.num_mini_batches, T, N, policy.is_recurrent
+            )
+            nb = N // num_mini_batches
 
             if policy.is_recurrent:
                 data = {
@@ -493,7 +526,7 @@ class PPO:
                     "sigma": rollout.sigma,
                     "resets": rollout.replay_resets(),
                 }
-                xs = recurrent_minibatch_starts(N, self.num_mini_batches, self.num_learning_epochs)
+                xs = recurrent_minibatch_starts(N, num_mini_batches, self.num_learning_epochs)
             else:
                 # Shuffle the flattened batch ONCE and hand out contiguous
                 # slices: the reference draws a single permutation and reuses
@@ -503,8 +536,8 @@ class PPO:
                 # traffic on TPU. All per-row fields are packed into ONE
                 # [T*N, F] array first so the random-row gather reads memory
                 # contiguously instead of once per field.
-                mb = (T * N) // self.num_mini_batches
-                perm = jax.random.permutation(key_perm, self.num_mini_batches * mb)
+                mb = (T * N) // num_mini_batches
+                perm = jax.random.permutation(key_perm, num_mini_batches * mb)
                 obs_keys = sorted(rollout.obs.keys())
                 columns = [("obs." + k, rollout.obs[k]) for k in obs_keys] + [
                     ("actions", rollout.actions),
@@ -554,7 +587,7 @@ class PPO:
                             "log_probs", "mu", "sigma")},
                     }
 
-                starts = jnp.arange(self.num_mini_batches, dtype=jnp.int32) * mb
+                starts = jnp.arange(num_mini_batches, dtype=jnp.int32) * mb
                 xs = jnp.tile(starts, (self.num_learning_epochs,))
 
             def minibatch_step(carry, x):

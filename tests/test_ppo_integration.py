@@ -446,3 +446,38 @@ class TestProfilerTraceResume:
         )
         runner.current_learning_iteration = 1  # resumed past the start
         runner.learn(3)  # iterations 1..3 cross trace_window[1] == 2
+
+
+class TestAutoMiniBatches:
+    """num_mini_batches="auto": the measured-knee selection rule
+    (README "Tuning"; sweep in benchmarks/results/sweep_minibatches.json)."""
+
+    def test_resolution_rule(self):
+        from rsl_rl_tpu.algorithms.ppo import resolve_num_mini_batches
+
+        # integers pass through untouched (reference contract)
+        assert resolve_num_mini_batches(7, 24, 4096, False) == 7
+        # headline shape: 4096*24 = 98.3k rows -> 4 minibatches (24.6k rows)
+        assert resolve_num_mini_batches("auto", 24, 4096, False) == 4
+        # 16384 envs -> 16 minibatches (the README-measured winner)
+        assert resolve_num_mini_batches("auto", 24, 16384, False) == 16
+        # small workloads stay at the reference default 4
+        assert resolve_num_mini_batches("auto", 24, 64, False) == 4
+        # recurrent divisibility is on the env axis: 4100 envs * 24 steps =
+        # 98.4k rows wants 8, but 4100 % 8 != 0 -> stops at 4
+        assert resolve_num_mini_batches("auto", 24, 4100, True) == 4
+        assert resolve_num_mini_batches("auto", 24, 8192, True) == 8
+
+    def test_auto_trains_and_matches_explicit(self):
+        """"auto" at a shape resolving to 4 must train exactly like an
+        explicit 4 (same permutation stream, same updates)."""
+        params = {}
+        for nmb in (4, "auto"):
+            env = PointMass(num_envs=8, max_episode_length=16)
+            cfg = _runner_cfg()
+            cfg["algorithm"]["num_mini_batches"] = nmb
+            runner = OnPolicyRunner(env, cfg, log_dir=None)
+            runner.learn(3)
+            params[str(nmb)] = jax.device_get(runner.train_state.policy.params)
+        for la, lb in zip(jax.tree.leaves(params["4"]), jax.tree.leaves(params["auto"])):
+            np.testing.assert_array_equal(la, lb)
