@@ -136,7 +136,9 @@ def make_torch_nlink(n: int, num_links: int = NUM_LINKS):
     return TorchNLink(n, num_links)
 
 
-def run_reference(seed: int, iterations: int, num_envs: int = 64) -> list[float]:
+def run_reference(
+    seed: int, iterations: int, num_envs: int = 64, random_ep_len: bool = False
+) -> list[float]:
     from benchmarks._reference_shim import install_reference_shims
 
     install_reference_shims()
@@ -154,9 +156,11 @@ def run_reference(seed: int, iterations: int, num_envs: int = 64) -> list[float]
     runner.save = lambda *a, **k: None
 
     curve = []
-    for _ in range(iterations):
+    for it in range(iterations):
         before = len(env.finished_returns)
-        runner.learn(1)
+        # the reference randomizes episode_length_buf once, at learn() entry
+        # (reference on_policy_runner.py:66-69)
+        runner.learn(1, init_at_random_ep_len=random_ep_len and it == 0)
         new = env.finished_returns[before:]
         curve.append(sum(new) / len(new) if new else float("nan"))
     return curve
@@ -167,7 +171,9 @@ def run_reference(seed: int, iterations: int, num_envs: int = 64) -> list[float]
 # --------------------------------------------------------------------------
 
 
-def run_ours(seed: int, iterations: int, num_envs: int = 64) -> list[float]:
+def run_ours(
+    seed: int, iterations: int, num_envs: int = 64, random_ep_len: bool = False
+) -> list[float]:
     import jax
 
     from rsl_rl_tpu.env import NLinkPendulum
@@ -178,6 +184,12 @@ def run_ours(seed: int, iterations: int, num_envs: int = 64) -> list[float]:
     )
     runner = OnPolicyRunner(env, train_cfg(seed), log_dir=None)
     ts, cs = runner.train_state, runner.collect_state
+    if random_ep_len:
+        # same desynchronization learn(init_at_random_ep_len=True) applies
+        env_state = env.randomize_episode_length(
+            cs.env_state, jax.random.PRNGKey(seed * 7919 + 13)
+        )
+        cs = cs.replace(env_state=env_state)
     curve = []
     for _ in range(iterations):
         ts, cs, rollout, cm = runner._collect(ts, cs)
@@ -201,6 +213,11 @@ def main():
     p.add_argument("--seeds", type=int, nargs="+", default=list(range(1, 11)))
     p.add_argument("--num-envs", type=int, default=64)
     p.add_argument("--skip-reference", action="store_true")
+    p.add_argument(
+        "--random-ep-len", action="store_true",
+        help="desynchronize episode boundaries (init_at_random_ep_len) on"
+        " both sides — diagnostic for synchronized-reset artifacts",
+    )
     p.add_argument("--out", type=str, default="benchmarks/results/parity_nlink.json")
     args = p.parse_args()
 
@@ -209,7 +226,9 @@ def main():
 
     for seed in args.seeds:
         t0 = time.time()
-        curves["rsl_rl_tpu"].append(run_ours(seed, args.iterations, args.num_envs))
+        curves["rsl_rl_tpu"].append(
+            run_ours(seed, args.iterations, args.num_envs, args.random_ep_len)
+        )
         timings.setdefault("rsl_rl_tpu_s", []).append(round(time.time() - t0, 1))
         print(f"[ours seed={seed}] done in {timings['rsl_rl_tpu_s'][-1]}s", flush=True)
 
@@ -217,7 +236,7 @@ def main():
         for seed in args.seeds:
             t0 = time.time()
             curves["reference"].append(
-                run_reference(seed, args.iterations, args.num_envs)
+                run_reference(seed, args.iterations, args.num_envs, args.random_ep_len)
             )
             timings.setdefault("reference_s", []).append(round(time.time() - t0, 1))
             print(
