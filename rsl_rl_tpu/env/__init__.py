@@ -5,8 +5,8 @@ from rsl_rl_tpu.env.cartpole import CartPoleSwingUp
 from rsl_rl_tpu.env.hopper import Hopper
 from rsl_rl_tpu.env.host_env import GymVecEnv, HostVecEnv
 from rsl_rl_tpu.env.mjx_env import MJXEnv
-from rsl_rl_tpu.env.mujoco_host import MuJoCoNLinkEnv
-from rsl_rl_tpu.env.nlink import NLinkPendulum
+from rsl_rl_tpu.env.mujoco_host import MuJoCoHostEnv, MuJoCoNLinkEnv
+from rsl_rl_tpu.env.nlink import DomainRandomizedNLink, NLinkPendulum
 from rsl_rl_tpu.env.pendulum import (
     PartiallyObservablePendulum,
     Pendulum,
@@ -28,8 +28,10 @@ __all__ = [
     "HostVecEnv",
     "GymVecEnv",
     "MJXEnv",
+    "MuJoCoHostEnv",
     "MuJoCoNLinkEnv",
     "NLinkPendulum",
+    "DomainRandomizedNLink",
     "Hopper",
     "SparseGoalReach",
     "BraxVecEnv",

@@ -117,14 +117,22 @@ class NLinkPendulum(VecEnv):
             x[i] = s / low[i][i]
         return jnp.stack(x, axis=-1)
 
-    def _accel(self, theta: jax.Array, omega: jax.Array, tau: jax.Array) -> jax.Array:
-        """q̈ from the manipulator equation; all args ``[N, L]``."""
+    def _accel(
+        self, theta: jax.Array, omega: jax.Array, tau: jax.Array, K=None
+    ) -> jax.Array:
+        """q̈ from the manipulator equation; ``theta``/``omega``/``tau`` are
+        ``[N, L]``. ``K`` is the cumulative-mass coupling matrix — the static
+        ``self._K`` (``[L, L]``) by default, or a per-env ``[N, L, L]`` batch
+        from :class:`DomainRandomizedNLink`."""
+        if K is None:
+            K = self._K
         dth = theta[:, :, None] - theta[:, None, :]  # [N, L, L] θ_i − θ_j
-        coup = self._K * self._ll  # [L, L]
+        coup = K * self._ll  # [L, L] or [N, L, L]
         M = coup * jnp.cos(dth)  # [N, L, L]
         # Coriolis/centrifugal: C_i = Σ_j coup_ij sin(θ_i − θ_j) ω_j²
-        C = jnp.einsum("nij,nj->ni", coup * jnp.sin(dth), omega**2)
-        G = self.g * self.lengths * jnp.diagonal(self._K) * jnp.sin(theta)
+        C = jnp.sum(coup * jnp.sin(dth) * (omega**2)[:, None, :], axis=-1)
+        diagK = jnp.diagonal(K, axis1=-2, axis2=-1)  # [L] or [N, L]
+        G = self.g * self.lengths * diagK * jnp.sin(theta)
         rhs = tau - C - G - self.damping * omega
         return self._solve_spd(M, rhs)
 
@@ -132,9 +140,9 @@ class NLinkPendulum(VecEnv):
         """τ_i = u_i − u_{i+1} (joint torque acts on both adjacent links)."""
         return u - jnp.concatenate([u[:, 1:], jnp.zeros_like(u[:, :1])], axis=1)
 
-    def _substep(self, theta, omega, tau, h):
+    def _substep(self, theta, omega, tau, h, K=None):
         """One semi-implicit Euler substep."""
-        omega = omega + h * self._accel(theta, omega, tau)
+        omega = omega + h * self._accel(theta, omega, tau, K)
         omega = jnp.clip(omega, -self.max_speed, self.max_speed)
         theta = theta + h * omega
         return theta, omega
@@ -157,6 +165,13 @@ class NLinkPendulum(VecEnv):
         omega = jax.random.uniform(k2, (n, self.num_links), minval=-0.05, maxval=0.05)
         return theta, omega
 
+    def _next_state(self, state, *, rng, episode_length, theta, omega, done, reset_keys):
+        """Post-step state constructor — ``done``/``reset_keys`` let
+        subclasses resample per-episode fields (domain randomization)."""
+        return NLinkState(
+            rng=rng, episode_length=episode_length, theta=theta, omega=omega
+        )
+
     def reset(self, key: jax.Array):
         keys = jax.random.split(key, self.num_envs + 1)
         theta, omega = self._sample_init(keys[0], self.num_envs)
@@ -168,13 +183,20 @@ class NLinkPendulum(VecEnv):
         )
         return state, self._obs(state)
 
+    def _coupling(self, state: NLinkState):
+        """Per-state coupling matrix for the dynamics — ``None`` selects the
+        static ``self._K``; :class:`DomainRandomizedNLink` returns the
+        per-env batch carried in its state."""
+        return None
+
     def step(self, state: NLinkState, actions: jax.Array):
         u = jnp.clip(actions, -self.max_torque, self.max_torque)
         tau = self._joint_to_generalized(u)
         theta, omega = state.theta, state.omega
+        K = self._coupling(state)
         h = self.dt / self.n_substeps
         for _ in range(self.n_substeps):
-            theta, omega = self._substep(theta, omega, tau, h)
+            theta, omega = self._substep(theta, omega, tau, h, K)
 
         height = self._tip_height(theta) / self._total_len  # [-1, 1]
         reward = (
@@ -194,11 +216,14 @@ class NLinkPendulum(VecEnv):
         )(reset_keys)
 
         done_col = done[:, None]
-        state = NLinkState(
+        state = self._next_state(
+            state,
             rng=new_rng,
             episode_length=jnp.where(done, 0, episode_length),
             theta=jnp.where(done_col, reset_theta, theta),
             omega=jnp.where(done_col, reset_omega, omega),
+            done=done,
+            reset_keys=reset_keys,
         )
         extras = {
             "time_outs": time_out,
@@ -208,12 +233,120 @@ class NLinkPendulum(VecEnv):
 
     # ------------------------------------------------------------ validation
 
+    def _masses_of(self, state: NLinkState) -> jax.Array:
+        """Link masses for energy accounting — ``[L]`` (static) by default,
+        ``[N, L]`` in the domain-randomized subclass."""
+        return self.masses
+
     def total_energy(self, state: NLinkState) -> jax.Array:
         """Mechanical energy per env (for integrator validation tests)."""
+        masses = self._masses_of(state)
         # mass-point positions/velocities via cumulative sums over links
         x_dot = jnp.cumsum(self.lengths * state.omega * jnp.cos(state.theta), axis=-1)
         y_dot = jnp.cumsum(self.lengths * state.omega * jnp.sin(state.theta), axis=-1)
         y = jnp.cumsum(-self.lengths * jnp.cos(state.theta), axis=-1)
-        kinetic = 0.5 * jnp.sum(self.masses * (x_dot**2 + y_dot**2), axis=-1)
-        potential = self.g * jnp.sum(self.masses * y, axis=-1)
+        kinetic = 0.5 * jnp.sum(masses * (x_dot**2 + y_dot**2), axis=-1)
+        potential = self.g * jnp.sum(masses * y, axis=-1)
         return kinetic + potential
+
+
+@struct.dataclass
+class DomainRandomizedNLinkState(NLinkState):
+    mass_scale: jax.Array  # [N, L] per-episode multiplicative mass scales
+
+
+@register("env")
+class DomainRandomizedNLink(NLinkPendulum):
+    """N-link swing-up with per-episode DOMAIN RANDOMIZATION of link masses.
+
+    The sim-to-real workhorse of the reference's downstream simulators
+    (Isaac Lab et al. randomize physics per environment; reference
+    README.md:6-10 positioning): every episode each env draws independent
+    log-uniform mass scales in ``mass_scale_range``, so one policy must
+    control a *distribution* of plants. In this functional design the
+    randomization is just another state field — the ``[N, L]`` scales ride
+    the env-state pytree, the coupling matrix becomes a per-env ``[N, L, L]``
+    batch (one fused broadcast, no per-env recompilation, vmap/shard-map
+    compatible), and resampling on reset is a ``where``.
+
+    Obs groups: ``"policy"`` is the base observation (the policy does NOT
+    see the scales — that is the point of DR); ``"privileged"`` appends
+    ``log(mass_scale)`` for critics and teachers (asymmetric actor-critic /
+    StudentTeacher distillation, reference student_teacher.py:15-26).
+    """
+
+    def __init__(
+        self,
+        num_envs: int,
+        num_links: int = 5,
+        max_episode_length: int = 400,
+        mass_scale_range: tuple[float, float] = (0.5, 2.0),
+        cfg: dict | None = None,
+    ):
+        super().__init__(num_envs, num_links, max_episode_length, cfg)
+        lo, hi = mass_scale_range
+        if not 0 < lo <= hi:
+            raise ValueError(f"mass_scale_range must satisfy 0 < lo <= hi, got {mass_scale_range}")
+        self.mass_scale_range = (float(lo), float(hi))
+        idx = jnp.arange(num_links)
+        self._maxidx = jnp.maximum(idx[:, None], idx[None, :])  # [L, L]
+
+    # --------------------------------------------------------- randomization
+
+    def _sample_mass_scale(self, key: jax.Array, n: int) -> jax.Array:
+        lo, hi = self.mass_scale_range
+        # log-uniform: mass scales are multiplicative perturbations
+        return jnp.exp(
+            jax.random.uniform(
+                key, (n, self.num_links),
+                minval=jnp.log(lo), maxval=jnp.log(hi),
+            )
+        )
+
+    def _K_of(self, mass_scale: jax.Array) -> jax.Array:
+        """Per-env coupling ``K_ij = Σ_{k≥max(i,j)} m_k`` for ``[N, L]``
+        masses — the batched analog of the constructor's precompute."""
+        m = self.masses * mass_scale  # [N, L]
+        cummass = jnp.cumsum(m[:, ::-1], axis=-1)[:, ::-1]  # [N, L]
+        return cummass[:, self._maxidx]  # [N, L, L]
+
+    def _coupling(self, state: DomainRandomizedNLinkState) -> jax.Array:
+        return self._K_of(state.mass_scale)
+
+    def _masses_of(self, state: DomainRandomizedNLinkState) -> jax.Array:
+        return self.masses * state.mass_scale
+
+    # -------------------------------------------------------------- contract
+
+    def _obs(self, state) -> dict[str, jax.Array]:
+        obs = super()._obs(state)
+        if isinstance(state, DomainRandomizedNLinkState):
+            obs["privileged"] = jnp.concatenate(
+                [obs["policy"], jnp.log(state.mass_scale)], axis=-1
+            )
+        return obs
+
+    def reset(self, key: jax.Array):
+        key_ms, key = jax.random.split(key)
+        state, _ = super().reset(key)
+        state = DomainRandomizedNLinkState(
+            rng=state.rng,
+            episode_length=state.episode_length,
+            theta=state.theta,
+            omega=state.omega,
+            mass_scale=self._sample_mass_scale(key_ms, self.num_envs),
+        )
+        return state, self._obs(state)
+
+    def _next_state(self, state, *, rng, episode_length, theta, omega, done, reset_keys):
+        # fold_in(·, 0xD0) keeps the mass stream independent of the
+        # theta/omega reset stream that consumes reset_keys directly
+        ms_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0xD0))(reset_keys)
+        fresh = jax.vmap(lambda k: self._sample_mass_scale(k, 1)[0])(ms_keys)
+        return DomainRandomizedNLinkState(
+            rng=rng,
+            episode_length=episode_length,
+            theta=theta,
+            omega=omega,
+            mass_scale=jnp.where(done[:, None], fresh, state.mass_scale),
+        )

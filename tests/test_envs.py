@@ -7,6 +7,7 @@ import pytest
 
 from rsl_rl_tpu.env import (
     CartPoleSwingUp,
+    DomainRandomizedNLink,
     Hopper,
     NLinkPendulum,
     PartiallyObservablePendulum,
@@ -26,6 +27,7 @@ ENVS = [
     lambda n: SparseGoalReach(num_envs=n, max_episode_length=50),
     lambda n: Reacher(num_envs=n, max_episode_length=50),
     lambda n: NLinkPendulum(num_envs=n, num_links=3, max_episode_length=50),
+    lambda n: DomainRandomizedNLink(num_envs=n, num_links=3, max_episode_length=50),
     lambda n: Hopper(num_envs=n, max_episode_length=50),
     # per-env heterogeneous time limits (reference vec_env.py:30-36 allows a
     # scalar OR per-env tensor)
@@ -388,3 +390,83 @@ class TestConfigLoading:
         assert cfg["num_steps_per_env"] == 24
         assert cfg["policy"]["class_name"] == "ActorCritic"
         assert cfg["algorithm"]["class_name"] == "PPO"
+
+
+class TestDomainRandomizedNLink:
+    """Per-episode mass randomization: scales ride the state pytree."""
+
+    def test_unit_scales_reduce_to_base_dynamics(self):
+        env = DomainRandomizedNLink(num_envs=4, num_links=3)
+        base = NLinkPendulum(num_envs=4, num_links=3)
+        key = jax.random.PRNGKey(0)
+        theta = jax.random.uniform(key, (4, 3), minval=-2.0, maxval=2.0)
+        omega = jax.random.uniform(key, (4, 3), minval=-3.0, maxval=3.0)
+        tau = jax.random.uniform(key, (4, 3), minval=-5.0, maxval=5.0)
+        K = env._K_of(jnp.ones((4, 3)))
+        np.testing.assert_allclose(
+            np.asarray(env._accel(theta, omega, tau, K)),
+            np.asarray(base._accel(theta, omega, tau)),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    def test_scales_sampled_in_range_and_resampled_on_done(self):
+        env = DomainRandomizedNLink(
+            num_envs=8, num_links=3, max_episode_length=3,
+            mass_scale_range=(0.5, 2.0),
+        )
+        state, obs = env.reset(jax.random.PRNGKey(1))
+        ms0 = np.asarray(state.mass_scale)
+        assert ms0.shape == (8, 3)
+        assert (ms0 >= 0.5).all() and (ms0 <= 2.0).all()
+        step = jax.jit(env.step)
+        a = jnp.zeros((8, 3))
+        # within an episode the scales must persist
+        state, *_ = step(state, a)
+        np.testing.assert_array_equal(np.asarray(state.mass_scale), ms0)
+        state, *_ = step(state, a)
+        state, obs, rew, done, extras = step(state, a)  # hits the time limit
+        assert bool(np.asarray(done).all())
+        ms1 = np.asarray(state.mass_scale)
+        assert (ms1 != ms0).any(), "scales must resample at episode reset"
+        assert (ms1 >= 0.5).all() and (ms1 <= 2.0).all()
+
+    def test_privileged_group_carries_log_scales(self):
+        env = DomainRandomizedNLink(num_envs=4, num_links=3)
+        state, obs = env.reset(jax.random.PRNGKey(2))
+        assert obs["privileged"].shape == (4, 9 + 3)
+        np.testing.assert_allclose(
+            np.asarray(obs["privileged"][:, -3:]),
+            np.log(np.asarray(state.mass_scale)),
+            rtol=1e-6,
+        )
+        # the policy group must NOT leak the scales
+        assert obs["policy"].shape == (4, 9)
+
+    def test_mass_distribution_changes_dynamics(self):
+        """A heavier tip link must fall differently from a heavier root link
+        (per-link randomization is real physics, not a no-op)."""
+        env = DomainRandomizedNLink(num_envs=2, num_links=3)
+        # bent, moving configuration: in a straight at-rest chain the mass
+        # dependence nearly cancels (free-fall-like), so bend it
+        theta = jnp.tile(jnp.asarray([0.3, 1.2, -0.7]), (2, 1))
+        omega = jnp.tile(jnp.asarray([1.0, -2.0, 0.5]), (2, 1))
+        tau = jnp.zeros((2, 3))
+        scales = jnp.asarray([[2.0, 1.0, 1.0], [1.0, 1.0, 2.0]])
+        acc = np.asarray(env._accel(theta, omega, tau, env._K_of(scales)))
+        assert np.abs(acc[0] - acc[1]).max() > 1e-3
+
+    def test_trains_end_to_end(self):
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        env = DomainRandomizedNLink(num_envs=8, num_links=3, max_episode_length=16)
+        cfg = {
+            "num_steps_per_env": 8, "save_interval": 1000, "seed": 1,
+            # asymmetric actor-critic: the critic sees the privileged scales
+            "obs_groups": {"policy": ["policy"], "critic": ["privileged"]},
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                       "critic_hidden_dims": [16]},
+            "algorithm": {"class_name": "PPO", "num_learning_epochs": 2,
+                          "num_mini_batches": 2},
+        }
+        runner = OnPolicyRunner(env, cfg, log_dir=None)
+        runner.learn(2)

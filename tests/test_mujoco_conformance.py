@@ -206,3 +206,139 @@ class TestRealSimulatorTraining:
         policy = runner.get_inference_policy()
         acts = policy({"policy": jnp.zeros((8, 9), jnp.float32)})
         assert np.isfinite(np.asarray(acts)).all()
+
+
+CARTPOLE_XML = """
+<mujoco model="cartpole">
+  <option timestep="0.02"/>
+  <worldbody>
+    <body name="cart" pos="0 0 1">
+      <joint name="slider" type="slide" axis="1 0 0" range="-2 2"/>
+      <geom type="box" size="0.2 0.1 0.05" mass="1"/>
+      <body name="pole" pos="0 0 0">
+        <joint name="hinge" type="hinge" axis="0 1 0" range="-3.14 3.14"/>
+        <geom type="capsule" fromto="0 0 0 0 0 0.6" size="0.04" mass="0.3"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator><motor joint="slider" gear="30"/></actuator>
+</mujoco>
+"""
+
+
+class TestGenericMuJoCoHostEnv:
+    """MuJoCoHostEnv: any MJCF model through the four hooks."""
+
+    def _make(self, num_envs=3, max_len=8, fall_threshold=1.0):
+        from rsl_rl_tpu.env.mujoco_host import MuJoCoHostEnv
+
+        class Cartpole(MuJoCoHostEnv):
+            def compute_obs(self, data):
+                return {
+                    "policy": np.concatenate([data.qpos, data.qvel]).astype(
+                        np.float32
+                    )
+                }
+
+            def compute_reward(self, data, action):
+                return float(np.cos(data.qpos[1]))  # pole uprightness
+
+            def compute_terminated(self, data):
+                return bool(abs(data.qpos[1]) > fall_threshold)  # pole fell
+
+        return Cartpole(
+            CARTPOLE_XML, num_envs=num_envs, max_episode_length=max_len,
+            n_substeps=2, seed=0,
+        )
+
+    def test_contract_and_model_introspection(self):
+        env = self._make()
+        assert env.num_actions == 1  # from model.nu
+        assert env.step_dt == pytest.approx(0.04)  # timestep * n_substeps
+        obs = env.reset(seed=0)
+        assert obs["policy"].shape == (3, 4)  # nq + nv
+        obs, rew, done, extras = env.step(np.zeros((3, 1), np.float32))
+        assert rew.shape == (3,) and "time_outs" in extras
+
+    def test_terminal_vs_timeout_split(self):
+        env = self._make(max_len=50, fall_threshold=0.05)
+        env.reset(seed=0)
+        # slam the cart: the pole tips past the threshold -> TERMINAL done
+        # well before the 50-step time limit
+        for t in range(40):
+            obs, rew, done, extras = env.step(np.full((3, 1), 1.0, np.float32))
+            if done.any():
+                break
+        assert done.any() and t < 40
+        assert not extras["time_outs"][done].any()  # terminal, not timeout
+        assert (env.episode_length_buf[done] == 0).all()  # auto-reset
+
+    def test_timeout_when_surviving(self):
+        env = self._make(max_len=4)
+        env.reset(seed=0)
+        for _ in range(4):
+            obs, rew, done, extras = env.step(np.zeros((3, 1), np.float32))
+        assert done.all() and extras["time_outs"].all()
+
+    def test_trains_through_runner(self):
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        env = self._make(num_envs=8, max_len=32)
+        cfg = {
+            "num_steps_per_env": 8,
+            "save_interval": 1000,
+            "seed": 1,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                       "critic_hidden_dims": [16]},
+            "algorithm": {"class_name": "PPO", "num_learning_epochs": 2,
+                          "num_mini_batches": 2},
+        }
+        runner = OnPolicyRunner(env, cfg, log_dir=None)
+        runner.learn(2)
+
+
+class TestRandomizedMassConformance:
+    """DomainRandomizedNLink's per-env coupling vs MuJoCo with those masses:
+    the randomized dynamics are real physics, pinned to the same ground
+    truth as the base env."""
+
+    def test_dr_accel_matches_mujoco(self):
+        from rsl_rl_tpu.env.nlink import DomainRandomizedNLink
+
+        L = 4
+        env = DomainRandomizedNLink(num_envs=1, num_links=L)
+        A = np.tril(np.ones((L, L)))
+        damp = env.damping * (A.T @ A)  # absolute-omega damper: mass-free
+        rng = np.random.default_rng(5)
+        worst = 0.0
+        for _ in range(8):
+            scale = np.exp(rng.uniform(np.log(0.5), np.log(2.0), L))
+            model = mujoco.MjModel.from_xml_string(
+                nlink_mjcf(
+                    L, np.asarray(env.lengths), env.dt / env.n_substeps,
+                    masses=scale,
+                )
+            )
+            data = mujoco.MjData(model)
+            theta = rng.uniform(-np.pi, np.pi, L)
+            omega = rng.uniform(-3.0, 3.0, L)
+            u = rng.uniform(-5.0, 5.0, L)
+            data.qpos[:] = np.diff(theta, prepend=0.0)
+            data.qvel[:] = np.diff(omega, prepend=0.0)
+            data.ctrl[:] = u
+            data.qfrc_applied[:] = -damp @ data.qvel
+            mujoco.mj_forward(model, data)
+            K = env._K_of(jnp.asarray(scale, jnp.float32)[None])
+            tau = env._joint_to_generalized(jnp.asarray(u, jnp.float32)[None])
+            ours = np.asarray(
+                env._accel(
+                    jnp.asarray(theta, jnp.float32)[None],
+                    jnp.asarray(omega, jnp.float32)[None],
+                    tau,
+                    K,
+                )
+            )[0]
+            mj = A @ data.qacc
+            worst = max(worst, float(np.max(np.abs(ours - mj) / (np.abs(mj) + 1.0))))
+        assert worst < 6e-4, f"randomized-mass dynamics disagree with MuJoCo: {worst}"
