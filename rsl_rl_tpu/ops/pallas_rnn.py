@@ -112,10 +112,17 @@ _INTROSPECTION_OK: bool | None = None  # lazily verified once per process
 
 
 def _verify_trace_introspection() -> bool:
-    """Functional self-test of the private-API walk: it must report True
-    inside a real ``jax.vmap`` trace and False outside. A jax upgrade that
-    moves ``trace_ctx`` or renames ``BatchTrace`` fails this loudly ONCE
-    (warning below) instead of silently misrouting kernels forever."""
+    """Functional self-test of the private-API walk: adding a real
+    ``jax.vmap`` trace must flip the walk to True, and leaving it must
+    restore the ambient answer. A jax upgrade that moves ``trace_ctx`` or
+    renames ``BatchTrace`` fails this loudly ONCE (warning below) instead of
+    silently misrouting kernels forever.
+
+    The test is DELTA-based because the first ``under_vmap()`` call can
+    itself happen under an ambient vmap/jit trace (e.g. inside a vmapped
+    multiseed train step): the ambient answer is whatever it is; the probe
+    vmap must add a detectable BatchTrace on top, and popping it must return
+    to the ambient answer."""
     seen = {"inside": False}
 
     def probe(x):
@@ -123,11 +130,12 @@ def _verify_trace_introspection() -> bool:
         return x
 
     try:
+        ambient = _under_vmap_raw()
         jax.vmap(probe)(jnp.zeros((2,), jnp.float32))
-        outside = _under_vmap_raw()
+        after = _under_vmap_raw()
     except Exception:
         return False
-    return seen["inside"] and not outside
+    return seen["inside"] and after == ambient
 
 
 def under_vmap() -> bool:

@@ -464,3 +464,31 @@ class TestMultiSeedRunnerFeatureParity:
 
         with pytest.warns(UserWarning, match="log_dir"):
             self._runner(eval_interval=2)
+
+
+class TestIntrospectionSelfTest:
+    def test_self_test_survives_first_call_under_vmap(self, monkeypatch):
+        """The lazy introspection self-test must pass even when the FIRST
+        under_vmap() call of the process happens inside an ambient vmap
+        trace (a vmapped multiseed step) — the ambient BatchTrace must not
+        read as 'introspection broken' and permanently disable the fused
+        kernels (round-4 regression)."""
+        from rsl_rl_tpu.ops import pallas_rnn
+
+        monkeypatch.setattr(pallas_rnn, "_INTROSPECTION_OK", None)
+        seen = {}
+
+        def inner(y):
+            seen["inside"] = pallas_rnn.under_vmap()
+            return (y * y).sum()
+
+        jax.jit(jax.vmap(jax.grad(inner)))(np.ones((2, 3), np.float32))
+        assert seen["inside"] is True
+        assert pallas_rnn._INTROSPECTION_OK is True
+
+        def plain(y):
+            seen["jit"] = pallas_rnn.under_vmap()
+            return y * 2
+
+        jax.jit(plain)(np.ones(3, np.float32))
+        assert seen["jit"] is False
