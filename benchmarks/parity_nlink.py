@@ -43,10 +43,14 @@ MAX_EPISODE_LENGTH = 400
 # --------------------------------------------------------------------------
 
 
-def make_torch_nlink(n: int, num_links: int = NUM_LINKS):
+def make_torch_nlink(
+    n: int, num_links: int = NUM_LINKS, partially_observable: bool = False
+):
     """Reference-contract torch env with NLinkPendulum's exact dynamics
     (env/nlink.py:120-207): manipulator equation in float32, semi-implicit
-    Euler over 4 substeps, same reward and timeout-only auto-reset."""
+    Euler over 4 substeps, same reward and timeout-only auto-reset.
+    ``partially_observable`` hides the angular velocities (the torch twin of
+    ``PartiallyObservableNLink``) for the recurrent study."""
     from benchmarks._reference_shim import TensorDictShim, install_reference_shims
 
     install_reference_shims()
@@ -60,7 +64,8 @@ def make_torch_nlink(n: int, num_links: int = NUM_LINKS):
         dt = 0.02
         n_substeps = 4
 
-        def __init__(self, n: int, L: int):
+        def __init__(self, n: int, L: int, partially_observable: bool = False):
+            self.partially_observable = partially_observable
             self.num_envs = n
             self.L = L
             self.num_actions = L
@@ -92,10 +97,10 @@ def make_torch_nlink(n: int, num_links: int = NUM_LINKS):
             return torch.linalg.solve(M, rhs.unsqueeze(-1)).squeeze(-1)
 
         def get_observations(self):
-            obs = torch.cat(
-                [torch.cos(self.theta), torch.sin(self.theta), 0.1 * self.omega],
-                dim=-1,
-            )
+            parts = [torch.cos(self.theta), torch.sin(self.theta)]
+            if not self.partially_observable:
+                parts.append(0.1 * self.omega)
+            obs = torch.cat(parts, dim=-1)
             return TensorDictShim(
                 {"policy": obs}, batch_size=[self.num_envs], device="cpu"
             )
@@ -133,11 +138,12 @@ def make_torch_nlink(n: int, num_links: int = NUM_LINKS):
             extras = {"time_outs": time_out}
             return self.get_observations(), rew, done, extras
 
-    return TorchNLink(n, num_links)
+    return TorchNLink(n, num_links, partially_observable)
 
 
 def run_reference(
-    seed: int, iterations: int, num_envs: int = 64, random_ep_len: bool = False
+    seed: int, iterations: int, num_envs: int = 64, random_ep_len: bool = False,
+    recurrent: bool = False,
 ) -> list[float]:
     from benchmarks._reference_shim import install_reference_shims
 
@@ -148,11 +154,11 @@ def run_reference(
 
     ref_runner_mod.store_code_state = lambda *a, **k: []
     torch.manual_seed(seed)
-    env = make_torch_nlink(num_envs)
+    env = make_torch_nlink(num_envs, partially_observable=recurrent)
     import tempfile
 
     log_dir = tempfile.mkdtemp(prefix="ref_parity_nlink_")
-    runner = RefRunner(env, train_cfg(seed), log_dir=log_dir, device="cpu")
+    runner = RefRunner(env, train_cfg(seed, recurrent), log_dir=log_dir, device="cpu")
     runner.save = lambda *a, **k: None
 
     curve = []
@@ -172,17 +178,19 @@ def run_reference(
 
 
 def run_ours(
-    seed: int, iterations: int, num_envs: int = 64, random_ep_len: bool = False
+    seed: int, iterations: int, num_envs: int = 64, random_ep_len: bool = False,
+    recurrent: bool = False,
 ) -> list[float]:
     import jax
 
-    from rsl_rl_tpu.env import NLinkPendulum
+    from rsl_rl_tpu.env import NLinkPendulum, PartiallyObservableNLink
     from rsl_rl_tpu.runners import OnPolicyRunner
 
-    env = NLinkPendulum(
+    env_cls = PartiallyObservableNLink if recurrent else NLinkPendulum
+    env = env_cls(
         num_envs=num_envs, num_links=NUM_LINKS, max_episode_length=MAX_EPISODE_LENGTH
     )
-    runner = OnPolicyRunner(env, train_cfg(seed), log_dir=None)
+    runner = OnPolicyRunner(env, train_cfg(seed, recurrent), log_dir=None)
     ts, cs = runner.train_state, runner.collect_state
     if random_ep_len:
         # same desynchronization learn(init_at_random_ep_len=True) applies
@@ -218,8 +226,16 @@ def main():
         help="desynchronize episode boundaries (init_at_random_ep_len) on"
         " both sides — diagnostic for synchronized-reset artifacts",
     )
-    p.add_argument("--out", type=str, default="benchmarks/results/parity_nlink.json")
+    p.add_argument(
+        "--recurrent", action="store_true",
+        help="GRU ActorCriticRecurrent on the partially observable task"
+        " (angular velocities hidden)",
+    )
+    p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
+    if args.out is None:
+        suffix = "_recurrent" if args.recurrent else ""
+        args.out = f"benchmarks/results/parity_nlink{suffix}.json"
 
     curves = {"rsl_rl_tpu": [], "reference": []}
     timings = {}
@@ -227,7 +243,10 @@ def main():
     for seed in args.seeds:
         t0 = time.time()
         curves["rsl_rl_tpu"].append(
-            run_ours(seed, args.iterations, args.num_envs, args.random_ep_len)
+            run_ours(
+                seed, args.iterations, args.num_envs, args.random_ep_len,
+                args.recurrent,
+            )
         )
         timings.setdefault("rsl_rl_tpu_s", []).append(round(time.time() - t0, 1))
         print(f"[ours seed={seed}] done in {timings['rsl_rl_tpu_s'][-1]}s", flush=True)
@@ -236,7 +255,10 @@ def main():
         for seed in args.seeds:
             t0 = time.time()
             curves["reference"].append(
-                run_reference(seed, args.iterations, args.num_envs, args.random_ep_len)
+                run_reference(
+                    seed, args.iterations, args.num_envs, args.random_ep_len,
+                    args.recurrent,
+                )
             )
             timings.setdefault("reference_s", []).append(round(time.time() - t0, 1))
             print(
@@ -245,8 +267,11 @@ def main():
             )
 
     rows = summarize(curves)
+    task = f"nlink{NUM_LINKS}_swingup_{args.num_envs}envs"
+    if args.recurrent:
+        task = f"po_nlink{NUM_LINKS}_gru_{args.num_envs}envs"
     out = {
-        "task": f"nlink{NUM_LINKS}_swingup_{args.num_envs}envs",
+        "task": task,
         "iterations": args.iterations,
         "seeds": args.seeds,
         "checkpoints": rows,

@@ -6,7 +6,11 @@ from rsl_rl_tpu.env.hopper import Hopper
 from rsl_rl_tpu.env.host_env import GymVecEnv, HostVecEnv
 from rsl_rl_tpu.env.mjx_env import MJXEnv
 from rsl_rl_tpu.env.mujoco_host import MuJoCoHostEnv, MuJoCoNLinkEnv
-from rsl_rl_tpu.env.nlink import DomainRandomizedNLink, NLinkPendulum
+from rsl_rl_tpu.env.nlink import (
+    DomainRandomizedNLink,
+    NLinkPendulum,
+    PartiallyObservableNLink,
+)
 from rsl_rl_tpu.env.pendulum import (
     PartiallyObservablePendulum,
     Pendulum,
@@ -32,6 +36,7 @@ __all__ = [
     "MuJoCoNLinkEnv",
     "NLinkPendulum",
     "DomainRandomizedNLink",
+    "PartiallyObservableNLink",
     "Hopper",
     "SparseGoalReach",
     "BraxVecEnv",

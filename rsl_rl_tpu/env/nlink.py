@@ -250,6 +250,19 @@ class NLinkPendulum(VecEnv):
         return kinetic + potential
 
 
+@register("env")
+class PartiallyObservableNLink(NLinkPendulum):
+    """N-link swing-up with angular velocities HIDDEN from the policy —
+    the physics-grade recurrent benchmark task. Observation is
+    ``[cos θ, sin θ]`` only (``2L`` dims); a memoryful policy must estimate
+    ``ω`` from history (the same construction as
+    ``PartiallyObservablePendulum``, at 5 DoF)."""
+
+    def _obs(self, state: NLinkState) -> dict[str, jax.Array]:
+        obs = jnp.concatenate([jnp.cos(state.theta), jnp.sin(state.theta)], axis=-1)
+        return {"policy": obs}
+
+
 @struct.dataclass
 class DomainRandomizedNLinkState(NLinkState):
     mass_scale: jax.Array  # [N, L] per-episode multiplicative mass scales

@@ -10,6 +10,7 @@ from rsl_rl_tpu.env import (
     DomainRandomizedNLink,
     Hopper,
     NLinkPendulum,
+    PartiallyObservableNLink,
     PartiallyObservablePendulum,
     Pendulum,
     PrivilegedPendulum,
@@ -28,6 +29,7 @@ ENVS = [
     lambda n: Reacher(num_envs=n, max_episode_length=50),
     lambda n: NLinkPendulum(num_envs=n, num_links=3, max_episode_length=50),
     lambda n: DomainRandomizedNLink(num_envs=n, num_links=3, max_episode_length=50),
+    lambda n: PartiallyObservableNLink(num_envs=n, num_links=3, max_episode_length=50),
     lambda n: Hopper(num_envs=n, max_episode_length=50),
     # per-env heterogeneous time limits (reference vec_env.py:30-36 allows a
     # scalar OR per-env tensor)
