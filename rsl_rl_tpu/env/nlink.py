@@ -77,6 +77,9 @@ class NLinkPendulum(VecEnv):
         idx = jnp.arange(num_links)
         self._K = cummass[jnp.maximum(idx[:, None], idx[None, :])]  # [L, L]
         self._ll = self.lengths[:, None] * self.lengths[None, :]  # [L, L]
+        # fused static-path constants (the per-env-K path recomputes them)
+        self._coup = self._K * self._ll  # [L, L]
+        self._gdiag = self.g * self.lengths * jnp.diagonal(self._K)  # [L]
         self._total_len = float(jnp.sum(self.lengths))
 
     # ------------------------------------------------------------- dynamics
@@ -125,14 +128,16 @@ class NLinkPendulum(VecEnv):
         ``self._K`` (``[L, L]``) by default, or a per-env ``[N, L, L]`` batch
         from :class:`DomainRandomizedNLink`."""
         if K is None:
-            K = self._K
+            coup = self._coup  # [L, L], precomputed
+            gdiag = self._gdiag  # [L]
+        else:
+            coup = K * self._ll  # [N, L, L]
+            gdiag = self.g * self.lengths * jnp.diagonal(K, axis1=-2, axis2=-1)
         dth = theta[:, :, None] - theta[:, None, :]  # [N, L, L] θ_i − θ_j
-        coup = K * self._ll  # [L, L] or [N, L, L]
         M = coup * jnp.cos(dth)  # [N, L, L]
         # Coriolis/centrifugal: C_i = Σ_j coup_ij sin(θ_i − θ_j) ω_j²
         C = jnp.sum(coup * jnp.sin(dth) * (omega**2)[:, None, :], axis=-1)
-        diagK = jnp.diagonal(K, axis1=-2, axis2=-1)  # [L] or [N, L]
-        G = self.g * self.lengths * diagK * jnp.sin(theta)
+        G = gdiag * jnp.sin(theta)
         rhs = tau - C - G - self.damping * omega
         return self._solve_spd(M, rhs)
 
