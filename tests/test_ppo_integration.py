@@ -153,7 +153,7 @@ class TestDataParallelConsistency:
     VARIANT_LIST = [
         "feedforward", "recurrent", "recurrent_lstm", "rnd",
         "symmetry_feedforward", "symmetry_recurrent", "distillation",
-        "distillation_recurrent",
+        "distillation_recurrent", "domain_randomized",
     ]
 
     def test_covers_every_guaranteed_variant(self):
