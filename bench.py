@@ -46,7 +46,8 @@ TRIALS = 3  # best-of-3 timed loops; the tunneled backend is noisy
 NORTH_STAR = 5_000_000.0  # env-steps/s aggregate on v4-16 (BASELINE.json:5)
 
 
-def _build(env, recurrent: bool = False, dtype=None, num_mini_batches: int = 4):
+def _build(env, recurrent: bool = False, dtype=None, num_mini_batches: int = 4,
+           noise_std_floor: float | None = None):
     from rsl_rl_tpu.algorithms.ppo import PPO
     from rsl_rl_tpu.modules import ActorCritic, ActorCriticRecurrent
     from rsl_rl_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_tree
@@ -67,6 +68,7 @@ def _build(env, recurrent: bool = False, dtype=None, num_mini_batches: int = 4):
             critic_hidden_dims=[256, 256],
             actor_obs_normalization=True,
             critic_obs_normalization=True,
+            noise_std_floor=noise_std_floor,
             dtype=dtype,  # bf16 applies to the MLP trunks; memory runs fp32
         )
     else:
@@ -78,6 +80,7 @@ def _build(env, recurrent: bool = False, dtype=None, num_mini_batches: int = 4):
             critic_hidden_dims=[256, 256, 256],
             actor_obs_normalization=True,
             critic_obs_normalization=True,
+            noise_std_floor=noise_std_floor,
             dtype=dtype,
         )
     ppo = PPO(policy, num_learning_epochs=5, num_mini_batches=num_mini_batches)

@@ -48,6 +48,7 @@ class ActorCritic:
         init_noise_std: float = 1.0,
         noise_std_type: str = "scalar",
         state_dependent_std: bool = False,
+        noise_std_floor: float | None = None,
         dtype: Any = None,
         **kwargs,
     ):
@@ -65,6 +66,7 @@ class ActorCritic:
         self.init_noise_std = init_noise_std
         self.noise_std_type = noise_std_type
         self.state_dependent_std = state_dependent_std
+        self.noise_std_floor = noise_std_floor
         if noise_std_type not in ("scalar", "log"):
             raise ValueError(
                 f"Unknown standard deviation type: {noise_std_type}. Should be 'scalar' or 'log'"
@@ -146,6 +148,13 @@ class ActorCritic:
         Reproduces ``update_distribution`` (reference actor_critic.py:118-140)
         for all three noise modes. Note the scalar mode uses the raw parameter
         as std (it can drift negative, as in the reference).
+
+        ``noise_std_floor`` (opt-in, default ``None`` = reference parity)
+        clamps the std from below. Neither framework bounds sigma (reference
+        actor_critic.py:89-91,140); a 2000-iteration at-scale run showed that
+        once sigma decays below ~3e-3 the PPO importance ratio explodes faster
+        than the adaptive-KL LR floor can brake, NaN-ing the run
+        (README "Known limitations", benchmarks/convergence_tpu.py).
         """
         out = self.actor.apply({"params": params["actor"]}, features)
         if self.state_dependent_std:
@@ -157,6 +166,8 @@ class ActorCritic:
             p = params["std"]
             std = p if self.noise_std_type == "scalar" else jnp.exp(p)
             std = jnp.broadcast_to(std, mean.shape)
+        if self.noise_std_floor is not None:
+            std = jnp.maximum(std, jnp.asarray(self.noise_std_floor, std.dtype))
         return mean, std
 
     def _actor_in(self, ps: PolicyState, obs: dict[str, jax.Array]) -> jax.Array:

@@ -41,6 +41,37 @@ class TestActorCritic:
         _, std, _ = ac.act(ps, obs, ())
         np.testing.assert_allclose(np.asarray(std), 0.7, rtol=1e-6)
 
+    def test_noise_std_floor_clamps(self):
+        """Opt-in sigma floor: with init std below the floor, act() returns the
+        floor; default (None) preserves the reference's unclamped behavior."""
+        obs = _obs()
+        ac = ActorCritic(
+            obs, OBS_GROUPS, 2, init_noise_std=1e-4, noise_std_floor=0.05,
+            actor_hidden_dims=[8], critic_hidden_dims=[8],
+        )
+        ps = ac.init(jax.random.PRNGKey(0))
+        _, std, _ = ac.act(ps, obs, ())
+        np.testing.assert_allclose(np.asarray(std), 0.05, rtol=1e-6)
+        # default: no clamp (parity with reference actor_critic.py:89-91,140)
+        ac2 = ActorCritic(
+            obs, OBS_GROUPS, 2, init_noise_std=1e-4,
+            actor_hidden_dims=[8], critic_hidden_dims=[8],
+        )
+        ps2 = ac2.init(jax.random.PRNGKey(0))
+        _, std2, _ = ac2.act(ps2, obs, ())
+        np.testing.assert_allclose(np.asarray(std2), 1e-4, rtol=1e-5)
+
+    def test_noise_std_floor_recurrent(self):
+        obs = _obs()
+        ac = ActorCriticRecurrent(
+            obs, OBS_GROUPS, 2, init_noise_std=1e-4, noise_std_floor=0.05,
+            actor_hidden_dims=[8], critic_hidden_dims=[8], rnn_hidden_dim=8,
+        )
+        ps = ac.init(jax.random.PRNGKey(0))
+        carry = ac.initial_carry(4)
+        _, std, _ = ac.act(ps, obs, carry)
+        np.testing.assert_allclose(np.asarray(std), 0.05, rtol=1e-6)
+
     def test_log_std_mode(self):
         obs = _obs()
         ac = ActorCritic(
