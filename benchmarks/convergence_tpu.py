@@ -1,11 +1,13 @@
-"""Full-scale convergence on the real chip: the headline config actually learns.
+"""Full-scale convergence on the real chip: the bench configs actually learn.
 
-Throughput numbers alone don't prove the flagship workload TRAINS at scale;
-this drives the exact headline configuration (PPO, 4096 N-link envs, bf16
-MXU compute, [256,256,256] MLPs, 5 epochs x 4 minibatches) for thousands of
+Throughput numbers alone don't prove the flagship workloads TRAIN at scale;
+this drives the exact bench configurations (PPO, 4096 N-link envs, bf16 MXU
+compute, [256,256,256] MLPs or GRU/LSTM-256 recurrent policies on the
+partially observable variant, 5 epochs x 4 minibatches) for thousands of
 iterations on the real TPU and records the mean completed-episode reward
 curve — the reference's `Train/mean_reward` (reference
-runners/on_policy_runner.py:208).
+runners/on_policy_runner.py:208). `--dtype fp32 vs bf16` at identical seeds
+isolates the MXU-precision effect on learning quality.
 
 Iterations run K-per-dispatch (one lax.scan program per 50 iterations, the
 runner's `iterations_per_dispatch` mode) so the curve costs one metrics
@@ -29,16 +31,30 @@ K = 50  # iterations per dispatch
 
 
 def run_seed(seed: int, iterations: int, env_name: str,
-             std_floor: float | None) -> dict:
+             std_floor: float | None, policy: str, dtype_name: str) -> dict:
     import jax
     import jax.numpy as jnp
 
     import bench
-    from rsl_rl_tpu.env import DomainRandomizedNLink, NLinkPendulum
+    from rsl_rl_tpu.env import (
+        DomainRandomizedNLink,
+        NLinkPendulum,
+        PartiallyObservableNLink,
+    )
 
-    env_cls = {"nlink": NLinkPendulum, "dr_nlink": DomainRandomizedNLink}[env_name]
+    env_cls = {
+        "nlink": NLinkPendulum,
+        "dr_nlink": DomainRandomizedNLink,
+        "po_nlink": PartiallyObservableNLink,
+    }[env_name]
     env = env_cls(num_envs=bench.NUM_ENVS, num_links=5)
-    ppo, ts, cs = bench._build(env, dtype=jnp.bfloat16, noise_std_floor=std_floor)
+    dtype = {"bf16": jnp.bfloat16, "fp32": None}[dtype_name]
+    ppo, ts, cs = bench._build(
+        env,
+        recurrent=False if policy == "ff" else policy,
+        dtype=dtype,
+        noise_std_floor=std_floor,
+    )
     # reseed: _build uses fixed keys; fold the seed into the RNG state
     ts = ts.replace(rng=jax.random.fold_in(ts.rng, seed))
     collect = ppo.make_collect_fn(env, bench.NUM_STEPS)
@@ -82,7 +98,16 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--iterations", type=int, default=2000)
     p.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
-    p.add_argument("--env", choices=["nlink", "dr_nlink"], default="nlink")
+    p.add_argument(
+        "--env", choices=["nlink", "dr_nlink", "po_nlink"], default="nlink",
+        help="po_nlink (velocities hidden) is the recurrent flagship workload",
+    )
+    p.add_argument("--policy", choices=["ff", "gru", "lstm"], default="ff")
+    p.add_argument(
+        "--dtype", choices=["bf16", "fp32"], default="bf16",
+        help="fp32 vs bf16 at identical seeds isolates the MXU-precision "
+        "effect on learning quality (backs the bench lines' dtype choices)",
+    )
     p.add_argument(
         "--std-floor", type=float, default=None,
         help="opt-in policy noise_std_floor; None reproduces the reference's "
@@ -95,7 +120,10 @@ def main() -> None:
 
     runs = []
     for seed in args.seeds:
-        r = run_seed(seed, args.iterations, args.env, args.std_floor)
+        r = run_seed(
+            seed, args.iterations, args.env, args.std_floor, args.policy,
+            args.dtype,
+        )
         c = np.asarray(r["curve"], dtype=float)
         tail = c[-100:][~np.isnan(c[-100:])]
         r["final_mean_reward_100"] = round(float(tail.mean()), 1)
@@ -106,7 +134,7 @@ def main() -> None:
 
     finals = [r["final_mean_reward_100"] for r in runs]
     out = {
-        "workload": f"ppo_4096envs_{args.env}5_bf16_headline_config",
+        "workload": f"ppo_{args.policy}_4096envs_{args.env}5_{args.dtype}",
         "iterations": args.iterations,
         "noise_std_floor": args.std_floor,
         "final_mean_reward_100": {
@@ -117,6 +145,8 @@ def main() -> None:
         "runs": runs,
     }
     suffix = "" if args.std_floor is None else "_floor"
+    if args.policy != "ff" or args.dtype != "bf16":
+        suffix += f"_{args.policy}_{args.dtype}"
     path = f"benchmarks/results/convergence_tpu{suffix}.json"
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
