@@ -61,6 +61,19 @@ class TestActorCritic:
         _, std2, _ = ac2.act(ps2, obs, ())
         np.testing.assert_allclose(np.asarray(std2), 1e-4, rtol=1e-5)
 
+    def test_noise_std_floor_state_dependent(self):
+        """In state-dependent scalar mode the raw head output IS the std and
+        can drift negative (reference actor_critic.py:123); the floor also
+        repairs the sign."""
+        obs = _obs()
+        ac = ActorCritic(
+            obs, OBS_GROUPS, 2, state_dependent_std=True, init_noise_std=1e-4,
+            noise_std_floor=0.05, actor_hidden_dims=[8], critic_hidden_dims=[8],
+        )
+        ps = ac.init(jax.random.PRNGKey(0))
+        _, std, _ = ac.act(ps, obs, ())
+        assert np.all(np.asarray(std) >= 0.05)
+
     def test_noise_std_floor_recurrent(self):
         obs = _obs()
         ac = ActorCriticRecurrent(
