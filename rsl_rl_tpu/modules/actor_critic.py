@@ -151,10 +151,12 @@ class ActorCritic:
 
         ``noise_std_floor`` (opt-in, default ``None`` = reference parity)
         clamps the std from below. Neither framework bounds sigma (reference
-        actor_critic.py:89-91,140); a 2000-iteration at-scale run showed that
-        once sigma decays below ~3e-3 the PPO importance ratio explodes faster
-        than the adaptive-KL LR floor can brake, NaN-ing the run
-        (README "Known limitations", benchmarks/convergence_tpu.py).
+        actor_critic.py:89-91,140); 2000-iteration at-scale runs showed that
+        under bf16 compute sigma can decay monotonically and, below ~3e-3,
+        the PPO importance ratio explodes faster than the adaptive-KL LR
+        floor can brake, NaN-ing the run — fp32 self-stabilizes on the same
+        seeds, so set the floor for long bf16 runs (README "Known
+        limitations", benchmarks/convergence_tpu.py).
         """
         out = self.actor.apply({"params": params["actor"]}, features)
         if self.state_dependent_std:
