@@ -75,13 +75,21 @@ class ActorCritic:
         # actor outputs [2, A] when the std is state-dependent
         # (reference: actor_critic.py:51-56)
         actor_out = [2, num_actions] if state_dependent_std else num_actions
+        # Reduced precision stays in the trunk; the output heads compute in
+        # fp32 (cost ~0: [B, H] @ [H, A] with tiny A). Measured: a full-bf16
+        # actor head biases the sigma gradient and collapses sigma to NaN on
+        # long runs (sigma_min 0.50 -> 0.004 -> NaN by ~iter 1400 at the
+        # headline scale); with the fp32 head the same seed stabilizes at
+        # sigma_min 0.15-0.36, matching full-fp32 behavior (README "Known
+        # limitations", benchmarks/convergence_tpu.py).
+        head = jnp.float32 if dtype is not None else None
         self.actor = MLP(
             output_dim=actor_out, hidden_dims=list(actor_hidden_dims),
-            activation=activation, dtype=dtype,
+            activation=activation, dtype=dtype, head_dtype=head,
         )
         self.critic = MLP(
             output_dim=1, hidden_dims=list(critic_hidden_dims),
-            activation=activation, dtype=dtype,
+            activation=activation, dtype=dtype, head_dtype=head,
         )
 
     # ------------------------------------------------------------------ init

@@ -96,13 +96,16 @@ class StudentTeacher:
             )
         self.loaded_teacher = False
 
+        # fp32 output heads under reduced-precision trunks (same rationale
+        # as ActorCritic: keep quantization out of the action interface)
+        head = jnp.float32 if dtype is not None else None
         self.student = MLP(
             output_dim=num_actions, hidden_dims=list(student_hidden_dims),
-            activation=activation, dtype=dtype,
+            activation=activation, dtype=dtype, head_dtype=head,
         )
         self.teacher = MLP(
             output_dim=num_actions, hidden_dims=list(teacher_hidden_dims),
-            activation=activation, dtype=dtype,
+            activation=activation, dtype=dtype, head_dtype=head,
         )
 
     # ------------------------------------------------------------------ init

@@ -58,6 +58,12 @@ class MLP(nn.Module):
             (scalar or one gain per linear layer) and zero biases.
         dtype: Compute dtype (params stay float32). Use ``jnp.bfloat16`` to
             run matmuls on the MXU in bf16.
+        head_dtype: Compute dtype for the FINAL linear layer only; ``None``
+            inherits ``dtype``. ``jnp.float32`` keeps a bf16 trunk but
+            computes the output head at full precision — the head is a
+            [B, H] @ [H, out] matmul with tiny ``out``, so this costs ~0
+            while removing bf16 quantization from the network's output
+            (see README "Known limitations" on bf16 sigma collapse).
     """
 
     output_dim: int | Sequence[int]
@@ -66,6 +72,7 @@ class MLP(nn.Module):
     last_activation: str | None = None
     init_scales: float | Sequence[float] | None = None
     dtype: jnp.dtype | None = None
+    head_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -94,11 +101,15 @@ class MLP(nn.Module):
 
         for i in range(num_linear):
             kernel_init, bias_init = layer_inits(i, dims[i])
+            is_head = i == num_linear - 1
+            layer_dtype = (
+                self.head_dtype if (is_head and self.head_dtype is not None) else self.dtype
+            )
             x = nn.Dense(
                 dims[i + 1],
                 kernel_init=kernel_init,
                 bias_init=bias_init,
-                dtype=self.dtype,
+                dtype=layer_dtype,
                 name=f"dense_{i}",
             )(x)
             if i < num_linear - 1:

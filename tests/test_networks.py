@@ -29,6 +29,35 @@ class TestMLP:
         y = m.apply(params, jnp.ones((3, 4)))
         assert y.shape == (3, 2, 6)
 
+    def test_head_dtype_fp32_under_bf16_trunk(self):
+        """head_dtype=fp32 computes the final layer at full precision while
+        the trunk runs bf16: the output must match a manual fp32 head applied
+        to the bf16 trunk activations, and differ (in general) from the
+        full-bf16 network."""
+        x = jax.random.normal(jax.random.PRNGKey(1), (64, 16)) * 3.0
+        m_mixed = MLP(output_dim=4, hidden_dims=[32], dtype=jnp.bfloat16,
+                      head_dtype=jnp.float32)
+        m_bf16 = MLP(output_dim=4, hidden_dims=[32], dtype=jnp.bfloat16)
+        params = m_mixed.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)))
+        y_mixed = m_mixed.apply(params, x)
+        y_bf16 = m_bf16.apply(params, x)  # same param tree (params stay fp32)
+        assert y_mixed.dtype == jnp.float32
+
+        # manual reference: bf16 trunk layer, fp32 head matmul
+        import flax.linen as nn
+
+        h = jnp.dot(x.astype(jnp.bfloat16),
+                    params["params"]["dense_0"]["kernel"].astype(jnp.bfloat16))
+        h = h + params["params"]["dense_0"]["bias"].astype(jnp.bfloat16)
+        h = nn.elu(h)
+        y_ref = (jnp.dot(h.astype(jnp.float32), params["params"]["dense_1"]["kernel"])
+                 + params["params"]["dense_1"]["bias"])
+        np.testing.assert_allclose(np.asarray(y_mixed), np.asarray(y_ref),
+                                   rtol=1e-6, atol=1e-6)
+        # the full-bf16 head rounds the output; outputs should not be
+        # bit-identical on generic inputs
+        assert not np.array_equal(np.asarray(y_mixed), np.asarray(y_bf16))
+
     def test_last_activation(self):
         m = MLP(output_dim=4, hidden_dims=[8], last_activation="tanh")
         params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
