@@ -343,6 +343,11 @@ def _measure_main() -> None:
         "vs_baseline": round(physics_bf16["steps_per_s"] / NORTH_STAR, 4),
         "collect_s_per_iter": round(physics_bf16["collect_s"], 5),
         "learn_s_per_iter": round(physics_bf16["learn_s"], 5),
+        # since round 4 the bf16 policy computes its output heads in fp32 by
+        # default (networks/mlp.py head_dtype — the sigma-collapse fix, see
+        # README "Known limitations"); cost measured ~0, but recorded here so
+        # cross-round bench comparisons know which network this is
+        "bf16_fp32_output_heads": True,
     }
 
     # The remaining workloads are context, not the headline. The tunneled
