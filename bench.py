@@ -138,10 +138,17 @@ def measure(env, recurrent: bool = False, dtype=None, num_mini_batches: int = 4)
         jax.device_get(cm["ep_count"])
         t_collect = min(t_collect, (time.perf_counter() - start) / MEASURE_ITERS)
 
+    actor_net = getattr(ppo.policy, "actor", None)
     return {
         "steps_per_s": NUM_ENVS * NUM_STEPS / t_full,
         "collect_s": t_collect,
         "learn_s": max(t_full - t_collect, 0.0),
+        # derived from the policy actually built (not hardcoded) so the bench
+        # line tracks the real default if modules/actor_critic.py changes
+        "fp32_heads": bool(
+            actor_net is not None
+            and getattr(actor_net, "head_dtype", None) == jnp.float32
+        ),
     }
 
 
@@ -343,11 +350,12 @@ def _measure_main() -> None:
         "vs_baseline": round(physics_bf16["steps_per_s"] / NORTH_STAR, 4),
         "collect_s_per_iter": round(physics_bf16["collect_s"], 5),
         "learn_s_per_iter": round(physics_bf16["learn_s"], 5),
-        # since round 4 the bf16 policy computes its output heads in fp32 by
-        # default (networks/mlp.py head_dtype — the sigma-collapse fix, see
-        # README "Known limitations"); cost measured ~0, but recorded here so
-        # cross-round bench comparisons know which network this is
-        "bf16_fp32_output_heads": True,
+        # since round 4 reduced-precision policies compute their output heads
+        # in fp32 by default (modules/actor_critic.py head_dtype — the
+        # sigma-collapse fix, see README "Known limitations"); cost measured
+        # ~0, but recorded here so cross-round bench comparisons know which
+        # network this is. Derived from the built policy, not hardcoded.
+        "bf16_fp32_output_heads": physics_bf16["fp32_heads"],
     }
 
     # The remaining workloads are context, not the headline. The tunneled

@@ -29,12 +29,42 @@ carry reset of `rsl_rl_tpu.networks.memory.memory_sequence`).
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# ``_under_vmap_raw`` below walks jax internals (``jax._src.core.trace_ctx``
+# and the ``BatchTrace`` type name). These privates were verified — by the
+# functional self-test in ``_verify_trace_introspection`` AND on real TPU
+# hardware — on the jax series listed here. On any other jax the walk may
+# silently stop detecting vmap, which would route every vmapped replay to
+# the slower (always-correct) xproj cores with only a first-call warning;
+# this import-time pin makes the assumption visible BEFORE a benchmark or
+# training run starts.
+_VERIFIED_JAX_SERIES = ("0.9.",)
+
+
+def _jax_version_verified(version: str | None = None) -> bool:
+    """True when the running jax is a series the trace-walk was verified on."""
+    v = jax.__version__ if version is None else version
+    return any(v.startswith(p) for p in _VERIFIED_JAX_SERIES)
+
+
+if not _jax_version_verified():  # pragma: no cover - exercised via unit test
+    warnings.warn(
+        f"rsl_rl_tpu.ops.pallas_rnn: running on jax {jax.__version__}, which"
+        f" is outside the verified series {_VERIFIED_JAX_SERIES} for the"
+        " trace-stack introspection that routes vmapped callers to the fused"
+        " RNN kernels. The walk is still functionally self-tested on first"
+        " use and falls back safely, but re-verify on this jax and extend"
+        " _VERIFIED_JAX_SERIES to silence this warning.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
 
 
 def _pick_block_b(batch: int, max_bb: int = 512) -> int | None:
@@ -99,7 +129,8 @@ def _under_vmap_raw() -> bool:
     """Walk the ambient trace stack for a ``BatchTrace``. Uses jax internals
     (``jax._src.core.trace_ctx``) — callers must go through
     :func:`under_vmap`, which functionally verifies this walk against the
-    running jax version first."""
+    running jax version first. The verified jax series is pinned at import
+    time in ``_VERIFIED_JAX_SERIES`` above."""
     trace = jax._src.core.trace_ctx.trace  # type: ignore[attr-defined]
     while trace is not None:
         if type(trace).__name__ == "BatchTrace":
@@ -162,8 +193,6 @@ def under_vmap() -> bool:
     if _INTROSPECTION_OK is None:
         _INTROSPECTION_OK = _verify_trace_introspection()
         if not _INTROSPECTION_OK:
-            import warnings
-
             warnings.warn(
                 "pallas_rnn.under_vmap: jax trace-stack introspection failed"
                 " its self-test (jax internals moved in this jax version);"

@@ -46,12 +46,15 @@ from rsl_rl_tpu.utils.writers import make_writer
 
 
 class MultiSeedRunner:
-    """Train ``num_seeds`` independent PPO runs as one batched program.
+    """Train ``num_seeds`` independent runs as one batched program.
 
-    Config schema matches :class:`OnPolicyRunner` (same ``policy`` /
-    ``algorithm`` / ``obs_groups`` blocks); ``cfg["seed"]`` seeds the whole
-    study (each seed's init/noise streams derive from it). JAX envs only —
-    a host env cannot be vmapped.
+    Works with any registered algorithm sharing the collect/update factory
+    surface — PPO and Distillation both do (for distillation, bootstrap the
+    shared teacher with :meth:`load_teacher` before :meth:`learn`). Config
+    schema matches :class:`OnPolicyRunner` (same ``policy`` / ``algorithm`` /
+    ``obs_groups`` blocks); ``cfg["seed"]`` seeds the whole study (each
+    seed's init/noise streams derive from it). JAX envs only — a host env
+    cannot be vmapped.
     """
 
     def __init__(self, env, train_cfg: dict, num_seeds: int,
@@ -149,6 +152,15 @@ class MultiSeedRunner:
     # ------------------------------------------------------------------ train
 
     def learn(self, num_learning_iterations: int) -> None:
+        # student-teacher policies must have a teacher before distilling —
+        # same gate as DistillationRunner.learn (reference
+        # distillation_runner.py:61-62); without it every seed would clone a
+        # random teacher
+        if getattr(self.alg.policy, "loaded_teacher", True) is False:
+            raise ValueError(
+                "Teacher model parameters not loaded. Please load a teacher"
+                " model to distill (MultiSeedRunner.load_teacher)."
+            )
         self._prepare_logging_writer()
         # jax.profiler trace window, same cfg contract as OnPolicyRunner:
         # "profiler_trace_iterations": [first, last]
@@ -497,6 +509,41 @@ class MultiSeedRunner:
         ts = ts.replace(it=jnp.full_like(ts.it, loaded["iter"]))
         self.train_state = ts
         return loaded["infos"]
+
+    def load_teacher(self, path: str) -> None:
+        """Bootstrap the frozen teacher of a multi-seed distillation study
+        from a single-seed RL checkpoint (the ``OnPolicyRunner.save`` schema).
+
+        Every seed gets the SAME teacher; the per-seed students keep their
+        independent random inits — N distillation seeds from one teacher in
+        one batched program. Reuses the policy's own ``load_state_dict``
+        remap (actor->teacher, reference student_teacher.py:168-206) on each
+        seed slice, so StudentTeacher and StudentTeacherRecurrent (incl. the
+        memory_a->memory_t remap) both work unchanged.
+        """
+        if not hasattr(self.alg.policy, "loaded_teacher"):
+            raise ValueError(
+                "load_teacher only applies to student-teacher policies;"
+                f" {type(self.alg.policy).__name__} has no teacher."
+            )
+        loaded = load_checkpoint(path)
+        model = loaded["model"]
+        params = model["params"] if isinstance(model, dict) else model.params
+        if "student" in params:
+            raise ValueError(
+                f"Checkpoint {path!r} is a distillation checkpoint (student"
+                " params present), not an RL teacher. Use load()/load_latest()"
+                " to resume a stacked study."
+            )
+        ts = self.train_state
+        slices = []
+        for i in range(self.num_seeds):
+            ps_i = jax.tree.map(lambda x: x[i], ts.policy)
+            new_ps_i, resumed = self.alg.policy.load_state_dict(ps_i, model)
+            assert not resumed  # "student" was rejected above
+            slices.append(jax.device_get(new_ps_i))
+        stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *slices)
+        self.train_state = ts.replace(policy=stacked)
 
     def save_seed(self, path: str, seed_index: int) -> None:
         """Export ONE seed as a standard single-seed checkpoint — the schema

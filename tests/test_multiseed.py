@@ -288,6 +288,25 @@ class TestMultiseedKernelDispatch:
         jax.jit(plain)(np.ones(3, np.float32))
         assert seen["jit"] is False
 
+    def test_jax_version_pin(self):
+        """The trace-walk's jax-internals assumption is pinned at import
+        time: the running jax must be in the verified series (otherwise the
+        module emits a RuntimeWarning at import — too late to test here, so
+        assert the predicate both ways instead)."""
+        from rsl_rl_tpu.ops import pallas_rnn
+
+        # the image's jax is a verified series, so import stayed silent
+        assert pallas_rnn._jax_version_verified() is True
+        assert pallas_rnn._jax_version_verified(jax.__version__) is True
+        # an unverified version must trip the predicate the warning keys on
+        assert pallas_rnn._jax_version_verified("0.4.35") is False
+        assert pallas_rnn._jax_version_verified("1.0.0") is False
+        # every pinned series entry is prefix-shaped (ends with a dot), so
+        # "0.9." cannot accidentally match "0.90.x"
+        for p in pallas_rnn._VERIFIED_JAX_SERIES:
+            assert p.endswith(".")
+        assert pallas_rnn._jax_version_verified("0.90.0") is False
+
 
 class TestMultiSeedRunnerConfigResolution:
     """The runner must resolve rnd_cfg/symmetry_cfg exactly like
@@ -492,3 +511,131 @@ class TestIntrospectionSelfTest:
 
         jax.jit(plain)(np.ones(3, np.float32))
         assert seen["jit"] is False
+
+
+class TestMultiSeedDistillation:
+    """MultiSeedRunner x Distillation: the runner accepts any registered
+    algorithm sharing the collect/update factory surface; for student-teacher
+    policies learn() gates on a loaded teacher (reference
+    distillation_runner.py:61-62) and load_teacher() broadcasts one RL
+    checkpoint's actor to every seed's frozen teacher."""
+
+    def _distill_runner(self, num_seeds=3, log_dir=None):
+        from rsl_rl_tpu.env import PointMass
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        cfg = {
+            "num_steps_per_env": 16,
+            "save_interval": 1000,
+            "seed": 2,
+            "obs_groups": {"policy": ["policy"], "teacher": ["policy", "privileged"]},
+            "logger": "tensorboard",
+            "policy": {
+                "class_name": "StudentTeacher",
+                "student_hidden_dims": [32, 32],
+                "teacher_hidden_dims": [32, 32],
+                "teacher_obs_normalization": True,
+            },
+            "algorithm": {
+                "class_name": "Distillation",
+                "learning_rate": 1e-3,
+                "gradient_length": 8,
+                "num_learning_epochs": 1,
+            },
+        }
+        env = PointMass(num_envs=16, max_episode_length=32)
+        return MultiSeedRunner(env, cfg, num_seeds=num_seeds, log_dir=log_dir)
+
+    @pytest.fixture(scope="class")
+    def rl_checkpoint(self, tmp_path_factory):
+        """A quick RL teacher whose actor sees the privileged obs."""
+        from rsl_rl_tpu.env import PointMass
+        from rsl_rl_tpu.runners import OnPolicyRunner
+
+        cfg = {
+            "num_steps_per_env": 16,
+            "save_interval": 1000,
+            "seed": 1,
+            "obs_groups": {"policy": ["policy", "privileged"],
+                           "critic": ["policy", "privileged"]},
+            "logger": "tensorboard",
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [32, 32],
+                       "critic_hidden_dims": [32, 32],
+                       "actor_obs_normalization": True},
+            "algorithm": {"class_name": "PPO", "learning_rate": 1e-3},
+        }
+        env = PointMass(num_envs=16, max_episode_length=32)
+        runner = OnPolicyRunner(env, cfg, log_dir=None)
+        ts, cs = runner.train_state, runner.collect_state
+        for _ in range(10):
+            ts, cs, rollout, _ = runner._collect(ts, cs)
+            ts, cs, _ = runner._update(ts, cs, rollout)
+        runner.train_state, runner.collect_state = ts, cs
+        path = os.path.join(str(tmp_path_factory.mktemp("ms_teacher")), "teacher.ckpt")
+        runner.save(path)
+        return path
+
+    def test_learn_requires_teacher(self):
+        runner = self._distill_runner()
+        with pytest.raises(ValueError, match="Teacher model parameters not loaded"):
+            runner.learn(1)
+
+    def test_load_teacher_broadcasts_and_distills(self, rl_checkpoint, tmp_path):
+        runner = self._distill_runner(log_dir=str(tmp_path))
+        runner.load_teacher(rl_checkpoint)
+
+        # one shared teacher across seeds...
+        aux = jax.device_get(runner.train_state.policy.aux)
+        for leaf in jax.tree.leaves(aux["teacher"]):
+            for i in range(1, runner.num_seeds):
+                np.testing.assert_array_equal(leaf[i], leaf[0])
+        # ...but independently-initialized students
+        students = jax.tree.leaves(jax.device_get(runner.train_state.policy.params))
+        assert any(not np.array_equal(leaf[0], leaf[1]) for leaf in students)
+
+        # the behavior-cloning loss drops for EVERY seed, [S]-leading metrics
+        ts, cs = runner.train_state, runner.collect_state
+        first = last = None
+        for it in range(20):
+            ts, cs, m = runner._train_step(ts, cs)
+            v = np.asarray(jax.device_get(m["Loss/behavior"]))
+            if it == 0:
+                first = v
+            last = v
+        assert last.shape == (runner.num_seeds,)
+        assert np.isfinite(last).all()
+        assert (last < first).all(), f"no distillation progress: {first} -> {last}"
+
+        # and the full learn() loop (gate passed) logs + saves like PPO studies
+        runner.train_state, runner.collect_state = ts, cs
+        runner.learn(2)
+        files = os.listdir(str(tmp_path))
+        assert any(f.startswith("model_") for f in files)
+
+    def test_load_teacher_rejects_distillation_checkpoint(self, rl_checkpoint, tmp_path):
+        runner = self._distill_runner(log_dir=None)
+        runner.load_teacher(rl_checkpoint)
+        snap = os.path.join(str(tmp_path), "study.ckpt")
+        runner.save(snap)
+        runner2 = self._distill_runner()
+        with pytest.raises(ValueError, match="distillation checkpoint"):
+            runner2.load_teacher(snap)
+
+    def test_load_teacher_rejects_non_student_policy(self, rl_checkpoint):
+        from rsl_rl_tpu.env import PointMass
+        from rsl_rl_tpu.runners import MultiSeedRunner
+
+        cfg = {
+            "num_steps_per_env": 8,
+            "save_interval": 1000,
+            "seed": 1,
+            "obs_groups": {"policy": ["policy"], "critic": ["policy"]},
+            "policy": {"class_name": "ActorCritic", "actor_hidden_dims": [16],
+                       "critic_hidden_dims": [16]},
+            "algorithm": {"class_name": "PPO"},
+        }
+        runner = MultiSeedRunner(
+            PointMass(num_envs=8, max_episode_length=16), cfg, num_seeds=2
+        )
+        with pytest.raises(ValueError, match="no teacher"):
+            runner.load_teacher(rl_checkpoint)
