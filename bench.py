@@ -95,6 +95,8 @@ def _build(env, recurrent: bool = False, dtype=None, num_mini_batches: int = 4,
 
 def measure(env, recurrent: bool = False, dtype=None, num_mini_batches: int = 4) -> dict:
     """Returns {"steps_per_s", "collect_s", "learn_s"} for one workload."""
+    import jax.numpy as jnp
+
     ppo, ts, cs = _build(
         env, recurrent=recurrent, dtype=dtype, num_mini_batches=num_mini_batches
     )

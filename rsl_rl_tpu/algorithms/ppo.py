@@ -166,6 +166,75 @@ def resolve_num_mini_batches(
     return nb
 
 
+_PACK_SCALAR_FIELDS = ("values", "returns", "advantages", "log_probs")
+
+
+def pack_minibatch_rows(rollout: "Rollout", returns, advantages, perm):
+    """Pack every per-row feedforward minibatch field into ONE shuffled
+    ``[T*N, F]`` array; returns ``(packed, unpack)``.
+
+    Shuffle the flattened batch ONCE and hand out contiguous slices: the
+    reference draws a single permutation and reuses it across epochs
+    (reference rollout_storage.py:163-165), so one up-front gather + dynamic
+    slices is equivalent to gathering shuffled rows per minibatch — and ~20x
+    cheaper in HBM traffic on TPU. All per-row fields are packed into one
+    array first so the random-row gather reads memory contiguously instead
+    of once per field.
+
+    The pack is fp32 (concatenate would otherwise promote to the widest
+    dtype anyway); narrow groups (uint8 images, bools) get their dtype back
+    at unpack so the update sees the same obs dtypes as collection. Measured
+    (benchmarks/roofline_ff.py): at the headline shape the whole pack +
+    per-epoch slice traffic is ~1-2% of the learn phase, so a per-dtype/bf16
+    pack is not worth its quality risk; if a real workload ever carries wide
+    image groups, pack those per-dtype to avoid gathering 4x the bytes.
+
+    ``unpack(rows)`` splits a packed row block back into the batch dict;
+    scalar fields are squeezed to ``[B]``, multi-dim fields (e.g. image obs
+    groups) get their trailing shape restored.
+    """
+    T, N = rollout.num_steps, rollout.num_envs
+    obs_keys = sorted(rollout.obs.keys())
+    columns = [("obs." + k, rollout.obs[k]) for k in obs_keys] + [
+        ("actions", rollout.actions),
+        ("values", rollout.values),
+        ("returns", returns),
+        ("advantages", advantages),
+        ("log_probs", rollout.log_probs),
+        ("mu", rollout.mu),
+        ("sigma", rollout.sigma),
+    ]
+    widths, trails, dtypes, flats = [], [], [], []
+    for _, v in columns:
+        flat = v.reshape(T * N, -1)
+        widths.append(flat.shape[1])
+        trails.append(v.shape[2:])  # original trailing shape
+        dtypes.append(v.dtype)  # restored at unpack
+        flats.append(flat.astype(jnp.float32))
+    packed = jnp.concatenate(flats, axis=-1)[perm]
+
+    def unpack(rows):
+        out, off = {}, 0
+        for (name, _), w, trail, dt in zip(columns, widths, trails, dtypes):
+            col = rows[:, off : off + w].astype(dt)
+            if name in _PACK_SCALAR_FIELDS:
+                out[name] = col[:, 0]
+            elif len(trail) > 1:
+                out[name] = col.reshape((col.shape[0],) + trail)
+            else:
+                out[name] = col
+            off += w
+        return {
+            "obs": {k: out["obs." + k] for k in obs_keys},
+            "resets": None,
+            **{k: out[k] for k in
+               ("actions", "values", "returns", "advantages",
+                "log_probs", "mu", "sigma")},
+        }
+
+    return packed, unpack
+
+
 @register("algorithm")
 class PPO:
     """Clipped-surrogate PPO with adaptive-KL LR, RND and symmetry support."""
@@ -528,65 +597,9 @@ class PPO:
                 }
                 xs = recurrent_minibatch_starts(N, num_mini_batches, self.num_learning_epochs)
             else:
-                # Shuffle the flattened batch ONCE and hand out contiguous
-                # slices: the reference draws a single permutation and reuses
-                # it across epochs (rollout_storage.py:163-165), so one
-                # up-front gather + dynamic slices is equivalent to gathering
-                # shuffled rows per minibatch — and ~20x cheaper in HBM
-                # traffic on TPU. All per-row fields are packed into ONE
-                # [T*N, F] array first so the random-row gather reads memory
-                # contiguously instead of once per field.
                 mb = (T * N) // num_mini_batches
                 perm = jax.random.permutation(key_perm, num_mini_batches * mb)
-                obs_keys = sorted(rollout.obs.keys())
-                columns = [("obs." + k, rollout.obs[k]) for k in obs_keys] + [
-                    ("actions", rollout.actions),
-                    ("values", rollout.values),
-                    ("returns", returns),
-                    ("advantages", advantages),
-                    ("log_probs", rollout.log_probs),
-                    ("mu", rollout.mu),
-                    ("sigma", rollout.sigma),
-                ]
-                widths, trails, dtypes, flats = [], [], [], []
-                for _, v in columns:
-                    flat = v.reshape(T * N, -1)
-                    widths.append(flat.shape[1])
-                    trails.append(v.shape[2:])  # original trailing shape
-                    dtypes.append(v.dtype)  # restored at unpack
-                    flats.append(flat.astype(jnp.float32))
-                # the pack is fp32 (concatenate would otherwise promote to
-                # the widest dtype anyway); narrow groups (uint8 images,
-                # bools) get their dtype back at unpack so the update sees
-                # the same obs dtypes as collection. If a real workload ever
-                # carries wide image groups, pack those per-dtype to avoid
-                # gathering 4x the bytes.
-                packed = jnp.concatenate(flats, axis=-1)[perm]
-
-                _scalar_fields = ("values", "returns", "advantages", "log_probs")
-
-                def unpack(rows):
-                    """Split a packed row block back into the batch dict;
-                    scalar fields are squeezed to [B], multi-dim fields (e.g.
-                    image obs groups) get their trailing shape restored."""
-                    out, off = {}, 0
-                    for (name, _), w, trail, dt in zip(columns, widths, trails, dtypes):
-                        col = rows[:, off : off + w].astype(dt)
-                        if name in _scalar_fields:
-                            out[name] = col[:, 0]
-                        elif len(trail) > 1:
-                            out[name] = col.reshape((col.shape[0],) + trail)
-                        else:
-                            out[name] = col
-                        off += w
-                    return {
-                        "obs": {k: out["obs." + k] for k in obs_keys},
-                        "resets": None,
-                        **{k: out[k] for k in
-                           ("actions", "values", "returns", "advantages",
-                            "log_probs", "mu", "sigma")},
-                    }
-
+                packed, unpack = pack_minibatch_rows(rollout, returns, advantages, perm)
                 starts = jnp.arange(num_mini_batches, dtype=jnp.int32) * mb
                 xs = jnp.tile(starts, (self.num_learning_epochs,))
 
