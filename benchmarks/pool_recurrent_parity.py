@@ -21,7 +21,10 @@ RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
 PARTS = ("parity_nlink_recurrent", "parity_nlink_recurrent_b", "parity_nlink_recurrent_c")
 CHECKPOINTS = (100, 200, 350, 500)
 LAGGARD_THRESHOLD = -250.0
-FINAL_WINDOW = 10  # mean of the last 10 iterations = the "final" statistic
+# the established checkpoint statistic (benchmarks/parity_pendulum.py
+# summarize): per-seed nan-aware mean over the trailing 20-iteration
+# window, then mean/std (population) across seeds
+FINAL_WINDOW = 20
 
 
 def main() -> None:
@@ -43,14 +46,16 @@ def main() -> None:
     for it in CHECKPOINTS:
         row = {"iteration": it}
         for arm, a in arrs.items():
-            v = a[:, it - 1]
+            # per-iteration reward is the mean over episodes COMPLETED that
+            # iteration and can be NaN on an episodeless iteration
+            v = np.nanmean(a[:, max(0, it - FINAL_WINDOW):it], axis=1)
             row[arm] = round(float(v.mean()), 1)
-            row[arm + "_std"] = round(float(v.std(ddof=1)), 1)
+            row[arm + "_std"] = round(float(v.std()), 1)  # ddof=0, matches summarize
             row[arm + "_median"] = round(float(np.median(v)), 1)
         out["checkpoints"].append(row)
         print(row, flush=True)
 
-    finals = {arm: a[:, -FINAL_WINDOW:].mean(axis=1) for arm, a in arrs.items()}
+    finals = {arm: np.nanmean(a[:, -FINAL_WINDOW:], axis=1) for arm, a in arrs.items()}
     ours, ref = finals["rsl_rl_tpu"], finals["reference"]
     welch = sps.ttest_ind(ours, ref, equal_var=False)
     mwu = sps.mannwhitneyu(ours, ref, alternative="two-sided")
@@ -58,7 +63,7 @@ def main() -> None:
         "window_iters": FINAL_WINDOW,
         "rsl_rl_tpu": {
             "mean": round(float(ours.mean()), 1),
-            "std": round(float(ours.std(ddof=1)), 1),
+            "std": round(float(ours.std()), 1),
             "median": round(float(np.median(ours)), 1),
             "min": round(float(ours.min()), 1),
             "max": round(float(ours.max()), 1),
@@ -67,7 +72,7 @@ def main() -> None:
         },
         "reference": {
             "mean": round(float(ref.mean()), 1),
-            "std": round(float(ref.std(ddof=1)), 1),
+            "std": round(float(ref.std()), 1),
             "median": round(float(np.median(ref)), 1),
             "min": round(float(ref.min()), 1),
             "max": round(float(ref.max()), 1),

@@ -10,17 +10,30 @@ measures the learn phase segment by segment at the exact headline shape
 
 - ``gae``          — the GAE reverse scan alone (ops/gae.py)
 - ``pack``         — pack_minibatch_rows: fp32 pack + one permutation gather
+- ``perm``         — jax.random.permutation alone (a key-sort on TPU)
 - ``net_fwdbwd``   — actor+critic forward+backward ONLY (policy.act_value_seq
                      grad), per minibatch of 24576 rows — the network floor
 - ``loss_fwdbwd``  — the full PPO minibatch loss fwd+bwd (algorithms/ppo.py
                      _loss: + logprob/ratio/clip/KL/entropy elementwise math)
 - ``adam``         — optimizer tx.update + apply_updates alone
+- ``minibatch_step`` — the COMPLETE per-step body (slice+loss+lr+clip+adam);
+                     x20 this reconstructs the learn phase
 - ``update_total`` — the real jitted update(ts, cs, rollout) program
 - end-to-end bench.measure context (collect_s / learn_s / steps_per_s)
 
 and evaluates the round-4 VERDICT's proposed lever — packing the minibatch
 gather in bf16 instead of fp32 — by monkeypatching a bf16 pack and
 re-measuring both the pack segment and the full headline.
+
+METHODOLOGY TRAP (cost a day of wrong conclusions): serializing scan
+iterations with ``p - 0.0 * grad`` lets XLA fold ``0*g -> 0`` and dead-code
+the ENTIRE backward pass — the "fwd+bwd" segments then measure forward
+only and look impossibly fast (117 "achieved" TFLOP/s, above the padded
+ceiling), while the in-situ step looks mysteriously 2.4x slower. The
+serialization must be ``p + 1e-30 * grad`` (not foldable, numerically
+negligible). Cross-check every per-step segment against the epoch-count
+slope of the real program (learn_s vs num_learning_epochs is exactly
+linear) before trusting it.
 
 FLOPs accounting: ``model_flops`` counts ideal matmul FLOPs;
 ``padded_flops`` counts them with every matmul dim padded to the MXU tile
@@ -241,10 +254,12 @@ def main() -> None:
     def k_net(params):
         def body(p, _):
             g = net_grad(p, batch["obs"])
-            return jax.tree.map(lambda a, b: a - 0.0 * b, p, g), None
+            return jax.tree.map(lambda a, b: a + 1e-30 * b, p, g), None
 
         p, _ = jax.lax.scan(body, params, None, length=K)
-        return jax.tree.leaves(p)[0].ravel()[0]
+        # reduce over EVERY leaf: returning a single element lets XLA
+        # dead-code the dW gemms / moment updates not feeding it
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(p))
 
     jax.device_get(k_net(ts.policy.params))
     results["segments"]["net_fwdbwd_s"] = timed(k_net, ts.policy.params)
@@ -257,10 +272,12 @@ def main() -> None:
     def k_loss(params):
         def body(p, _):
             (_, _aux), (g, _) = loss_grad(p, None, ts.policy, None, batch, None)
-            return jax.tree.map(lambda a, b: a - 0.0 * b, p, g), None
+            return jax.tree.map(lambda a, b: a + 1e-30 * b, p, g), None
 
         p, _ = jax.lax.scan(body, params, None, length=K)
-        return jax.tree.leaves(p)[0].ravel()[0]
+        # reduce over EVERY leaf: returning a single element lets XLA
+        # dead-code the dW gemms / moment updates not feeding it
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(p))
 
     jax.device_get(k_loss(ts.policy.params))
     results["segments"]["loss_fwdbwd_s"] = timed(k_loss, ts.policy.params)
@@ -279,10 +296,10 @@ def main() -> None:
             x = mb_starts[i % n_mb]
             b = unpack(jax.lax.dynamic_slice_in_dim(packed0, x, mb, axis=0))
             (_, _aux), (g, _) = loss_grad(p, None, ts.policy, None, b, None)
-            return jax.tree.map(lambda a, c: a - 0.0 * c, p, g), None
+            return jax.tree.map(lambda a, c: a + 1e-30 * c, p, g), None
 
         p, _ = jax.lax.scan(body, params, jnp.arange(K), length=K)
-        return jax.tree.leaves(p)[0].ravel()[0]
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(p))
 
     jax.device_get(k_loss_packed(ts.policy.params))
     results["segments"]["loss_from_packed_fwdbwd_s"] = timed(
@@ -308,10 +325,10 @@ def main() -> None:
         def body(p, i):
             b = slice_fields(mb_starts[i % n_mb])
             (_, _aux), (g, _) = loss_grad(p, None, ts.policy, None, b, None)
-            return jax.tree.map(lambda a, c: a - 0.0 * c, p, g), None
+            return jax.tree.map(lambda a, c: a + 1e-30 * c, p, g), None
 
         p, _ = jax.lax.scan(body, params, jnp.arange(K), length=K)
-        return jax.tree.leaves(p)[0].ravel()[0]
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(p))
 
     jax.device_get(k_loss_fields(ts.policy.params))
     results["segments"]["loss_from_fields_fwdbwd_s"] = timed(
@@ -333,11 +350,46 @@ def main() -> None:
             return (p, s), None
 
         (p, s), _ = jax.lax.scan(body, (params, opt_state), None, length=K)
-        return jax.tree.leaves(p)[0].ravel()[0]
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves((p, s)))
 
     jax.device_get(k_adam(ts.policy.params, ts.opt_state))
     results["segments"]["adam_s"] = timed(k_adam, ts.policy.params, ts.opt_state)
     print("segment adam_s done", flush=True)
+
+    # ---- segment: the COMPLETE minibatch step -----------------------------
+    # slice+unpack + loss fwd+bwd + adaptive-KL lr + clip/adam + apply — the
+    # exact body the update scans 20x; its time x 20 should reconstruct the
+    # learn phase (cross-checked against update_total and the epoch-count
+    # slope, which this measurement matched at ~512us/step).
+    @jax.jit
+    def k_step(params, opt_state, lr):
+        def body(carry, i):
+            p, s, lr_c = carry
+            x = mb_starts[i % n_mb]
+            b = unpack(jax.lax.dynamic_slice_in_dim(packed0, x, mb, axis=0))
+            (_, aux), (g, _) = loss_grad(p, None, ts.policy, None, b, None)
+            kl = aux["kl"]
+            lr_c = jnp.where(
+                kl > ppo.desired_kl * 2.0,
+                jnp.maximum(ppo.min_lr, lr_c / 1.5),
+                jnp.where(
+                    (kl < ppo.desired_kl / 2.0) & (kl > 0.0),
+                    jnp.minimum(ppo.max_lr, lr_c * 1.5),
+                    lr_c,
+                ),
+            )
+            updates, s = ppo.tx.update(g, s, p)
+            p = jax.tree.map(lambda pp, u: (pp - lr_c * u).astype(pp.dtype), p, updates)
+            return (p, s, lr_c), kl
+
+        (p, s, lr), kls = jax.lax.scan(body, (params, opt_state, lr), jnp.arange(K))
+        return kls[-1] + sum(jnp.sum(leaf) for leaf in jax.tree.leaves((p, s))) * 1e-30
+
+    jax.device_get(k_step(ts.policy.params, ts.opt_state, ts.lr))
+    results["segments"]["minibatch_step_s"] = timed(
+        k_step, ts.policy.params, ts.opt_state, ts.lr
+    )
+    print("segment minibatch_step_s done", flush=True)
 
     # ---- segment: the real update program --------------------------------
     @jax.jit
@@ -367,20 +419,36 @@ def main() -> None:
         "tile_padding_ceiling": round(ideal / padded, 3),
         "peak_bf16_tflops": PEAK_BF16_TFLOPS,
     }
+    disp_per_call = seg["dispatch_roundtrip_s"] / K
     seg["achieved_tflops"] = {
-        "net_fwdbwd": round(ideal / seg["net_fwdbwd_s"] / 1e12, 1),
-        "loss_fwdbwd": round(ideal / seg["loss_fwdbwd_s"] / 1e12, 1),
+        # dispatch-corrected: the tunneled backend's per-program round-trip
+        # is amortized over K but still worth subtracting explicitly
+        "net_fwdbwd": round(ideal / (seg["net_fwdbwd_s"] - disp_per_call) / 1e12, 1),
+        "loss_fwdbwd": round(ideal / (seg["loss_fwdbwd_s"] - disp_per_call) / 1e12, 1),
         "padded_model_tflops_at_peak": round(ideal / padded * PEAK_BF16_TFLOPS, 1),
     }
+    disp = seg["dispatch_roundtrip_s"] / K
     seg["decomposition"] = {
+        # the real learn phase is steps x minibatch_step (+ pack/perm/GAE,
+        # which the compiler overlaps almost entirely — the epoch-count
+        # slope puts the fixed part at <0.1ms)
         "reconstructed_update_s": round(
             seg["gae_s"] + seg["pack_s"]
-            + steps_per_update * (seg["loss_fwdbwd_s"] + seg["adam_s"]),
+            + steps_per_update * seg["minibatch_step_s"],
             6,
         ),
         "minibatch_steps": steps_per_update,
+        "minibatch_step_minus_dispatch_us": round(
+            (seg["minibatch_step_s"] - disp) * 1e6, 1
+        ),
+        "optimizer_share_us": round(
+            (seg["minibatch_step_s"] - seg["loss_fwdbwd_s"]) * 1e6, 1
+        ),
         "loss_minus_net_s": round(seg["loss_fwdbwd_s"] - seg["net_fwdbwd_s"], 6),
         "pack_share_of_update": round(seg["pack_s"] / seg["update_total_s"], 4),
+        "achieved_tflops_minibatch_step": round(
+            ideal / (seg["minibatch_step_s"] - disp) / 1e12, 1
+        ),
     }
     print(json.dumps(results["segments"], indent=1), flush=True)
 

@@ -184,9 +184,10 @@ def pack_minibatch_rows(rollout: "Rollout", returns, advantages, perm):
     The pack is fp32 (concatenate would otherwise promote to the widest
     dtype anyway); narrow groups (uint8 images, bools) get their dtype back
     at unpack so the update sees the same obs dtypes as collection. Measured
-    (benchmarks/roofline_ff.py): at the headline shape the whole pack +
-    per-epoch slice traffic is ~1-2% of the learn phase, so a per-dtype/bf16
-    pack is not worth its quality risk; if a real workload ever carries wide
+    (benchmarks/roofline_ff.py): at the headline shape the pack + gather is
+    ~232us of a ~10.8ms learn phase (~2%), and a bf16 pack measured
+    end-to-end is a no-op (7.24M vs 7.26M steps/s, inside run noise), so it
+    is not worth its quality risk; if a real workload ever carries wide
     image groups, pack those per-dtype to avoid gathering 4x the bytes.
 
     ``unpack(rows)`` splits a packed row block back into the batch dict;
@@ -313,7 +314,12 @@ class PPO:
             self.symmetry = symmetry_cfg
 
         # optimizer: clip -> direction transform; the -lr scale is applied
-        # manually from the carried adaptive learning rate
+        # manually from the carried adaptive learning rate. (A flattened
+        # single-vector variant — optax.flatten — was measured at the
+        # headline shape and is NOT used: the optimizer accounts for only
+        # ~20us of the ~512us minibatch step, so flattening buys nothing and
+        # would churn the checkpointed opt_state layout. See
+        # benchmarks/roofline_ff.py / README "Throughput".)
         direction = resolve_optimizer(optimizer)()
         if max_grad_norm is not None:
             self.tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), direction)
@@ -637,13 +643,20 @@ class PPO:
                     )
 
                 updates, opt_state = self.tx.update(policy_grads, opt_state, params)
-                params = optax.apply_updates(params, jax.tree.map(lambda u: -lr * u, updates))
+                # one fused pass per leaf (scale by the carried -lr AND
+                # apply), not two (reference lr step: torch optimizer.step())
+                params = jax.tree.map(
+                    lambda p, u: (p - lr * u).astype(jnp.asarray(p).dtype), params, updates
+                )
 
                 if rnd is not None:
                     rnd_updates, rnd_opt = self.rnd_tx.update(rnd_grads, rnd_opt, rnd_pred)
-                    rnd_pred = optax.apply_updates(
+                    rnd_pred = jax.tree.map(
+                        lambda p, u: (p - self.rnd_learning_rate * u).astype(
+                            jnp.asarray(p).dtype
+                        ),
                         rnd_pred,
-                        jax.tree.map(lambda u: -self.rnd_learning_rate * u, rnd_updates),
+                        rnd_updates,
                     )
 
                 out = {k: v for k, v in aux.items()}
